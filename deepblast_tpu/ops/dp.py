@@ -1,0 +1,291 @@
+"""Differentiable smoothed alignment DP — public API and autodiff wiring.
+
+This module replaces the reference's paired ``torch.autograd.Function``
+machinery (reference: deepblast/nw.py:315-386, deepblast/nw_cuda.py:168-262)
+with two nested :func:`jax.custom_vjp` functions:
+
+``alignment_score(theta, A, lengths) -> Vt``
+    The terminal smoothed alignment score.  Its VJP *is* the expected
+    alignment — the posterior marginal matrix ``E`` — computed by the reverse
+    DP pass.
+
+``expected_alignment(theta, A, lengths, Et) -> (E_theta, E_A)``
+    The gradient map itself, exposed as a first-class differentiable
+    function (this is ``decode`` in the reference,
+    deepblast/nw.py:446-458).  Its VJP uses the symmetry of the Hessian of
+    ``Vt``: the VJP of a gradient map equals its JVP, which the adjoint
+    (directional-derivative) passes compute — exactly the trick behind the
+    reference's ``NeedlemanWunschFunctionBackward`` (deepblast/nw.py:342-386,
+    after Mensch & Blondel 2018).  ``jax.grad`` therefore composes twice,
+    which training requires (the loss differentiates through ``decode``).
+
+Deviations from the reference (documented, intentional):
+
+* The gap potential receives its *correct* gradient
+  ``dVt/dA[i-1,j-1] = E[i,j] * (Qx[i,j] + Qy[i,j])``.  The reference returns
+  the tensor ``A`` itself as its own gradient (deepblast/nw.py:337-339) and
+  then discards it, so its gap head trains with zero gradient.
+* The gap matrix is indexed per-cell ``A[i-1, j-1]`` (the reference CPU
+  semantics, deepblast/nw.py:56-58) — not the CUDA rolling-row bug
+  (deepblast/nw_cuda.py:61-63).
+* Batches carry explicit per-pair lengths instead of per-pair Python slicing
+  (reference: deepblast/alignment.py:165-169), keeping XLA shapes static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepblast_tpu.ops import dp_scan
+from deepblast_tpu.ops.skew import skew, unskew
+
+__all__ = [
+    "alignment_score",
+    "expected_alignment",
+    "traceback",
+    "AlignmentDecoder",
+    "NeedlemanWunschDecoder",
+    "SmithWatermanDecoder",
+    "get_backend",
+    "register_backend",
+]
+
+
+# ---------------------------------------------------------------------------
+# Backend registry: each backend provides the four skew-layout passes.
+# "scan" is the portable lax.scan implementation; "pallas" (registered by
+# deepblast_tpu.ops.dp_pallas) is the hand-written TPU wavefront kernel.
+# ---------------------------------------------------------------------------
+
+_BACKENDS = {
+    "scan": {
+        "forward": dp_scan.forward_scan,
+        "backward": dp_scan.backward_scan,
+        "adjoint_forward": dp_scan.adjoint_forward_scan,
+        "adjoint_backward": dp_scan.adjoint_backward_scan,
+    },
+}
+
+_DEFAULT_BACKEND = ["scan"]
+
+
+def register_backend(name, fns, make_default=False):
+    _BACKENDS[name] = fns
+    if make_default:
+        _DEFAULT_BACKEND[0] = name
+
+
+def get_backend(name=None):
+    if name is None:
+        name = _DEFAULT_BACKEND[0]
+    return name, _BACKENDS[name]
+
+
+def set_default_backend(name):
+    if name not in _BACKENDS:
+        raise ValueError(f"unknown DP backend {name!r}")
+    _DEFAULT_BACKEND[0] = name
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp construction (cached per static configuration)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build(mode: str, operator: str, backend: str):
+    be = _BACKENDS[backend]
+
+    def _run_forward(theta, A, ln, lm):
+        thetad = skew(theta)
+        Ad = skew(A)
+        return be["forward"](thetad, Ad, ln, lm, mode=mode, operator=operator)
+
+    # -- level 2: the expected-alignment (gradient) map --------------------
+    @jax.custom_vjp
+    def expected(theta, A, Et, lnf, lmf):
+        out, _ = _expected_fwd(theta, A, Et, lnf, lmf)
+        return out
+
+    def _expected_fwd(theta, A, Et, lnf, lmf):
+        B, N, M = theta.shape
+        ln = lnf.astype(jnp.int32)
+        lm = lmf.astype(jnp.int32)
+        _, qs = _run_forward(theta, A, ln, lm)
+        Ediag = be["backward"](Et, qs, ln, lm, mode=mode)
+        # backends may return batch/lane-padded diagonal buffers
+        E_theta = unskew(Ediag, N, M, offset=1)[:B]
+        E_A = unskew(Ediag * (qs[0] + qs[2]), N, M, offset=1)[:B]
+        return (E_theta, E_A), (qs, Ediag, Et, lnf, lmf)
+
+    def _expected_bwd(res, cts):
+        qs, Ediag, Et, lnf, lmf = res
+        Zt, Za = cts
+        B, N, M = Zt.shape
+        ln = lnf.astype(jnp.int32)
+        lm = lmf.astype(jnp.int32)
+        Ztd = skew(Zt)
+        ZAd = skew(Za)
+        # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
+        vtd, qds = be["adjoint_forward"](
+            qs, Ztd, ZAd, ln, lm, mode=mode, operator=operator)
+        Eddiag = be["adjoint_backward"](Ediag, qs, qds, ln, lm, mode=mode)
+        g_theta = unskew(Eddiag, N, M, offset=1)[:B]
+        g_A = unskew(Eddiag * (qs[0] + qs[2]) + Ediag * (qds[0] + qds[2]),
+                     N, M, offset=1)[:B]
+        # E is linear in Et, so d<cts, E>/dEt = <cts, E>/Et = vtd (the
+        # adjoint-forward terminal tangent is Et-free).
+        return (g_theta, g_A, vtd,
+                jnp.zeros_like(lnf), jnp.zeros_like(lmf))
+
+    expected.defvjp(_expected_fwd, _expected_bwd)
+
+    # -- level 1: the terminal score ---------------------------------------
+    @jax.custom_vjp
+    def score(theta, A, lnf, lmf):
+        ln = lnf.astype(jnp.int32)
+        lm = lmf.astype(jnp.int32)
+        vt, _ = _run_forward(theta, A, ln, lm)
+        return vt
+
+    def _score_fwd(theta, A, lnf, lmf):
+        return score(theta, A, lnf, lmf), (theta, A, lnf, lmf)
+
+    def _score_bwd(res, Et):
+        theta, A, lnf, lmf = res
+        g_theta, g_A = expected(theta, A, Et, lnf, lmf)
+        return (g_theta, g_A, jnp.zeros_like(lnf), jnp.zeros_like(lmf))
+
+    score.defvjp(_score_fwd, _score_bwd)
+
+    return score, expected
+
+
+def _lengths(theta, lengths):
+    B, N, M = theta.shape
+    if lengths is None:
+        ln = jnp.full((B,), N, theta.dtype)
+        lm = jnp.full((B,), M, theta.dtype)
+    else:
+        ln, lm = lengths
+        ln = jnp.asarray(ln).astype(theta.dtype)
+        lm = jnp.asarray(lm).astype(theta.dtype)
+    return ln, lm
+
+
+def alignment_score(theta, A, lengths=None, *, mode="nw",
+                    operator="softmax", backend=None):
+    """Terminal smoothed alignment score ``Vt`` for a padded batch.
+
+    Parameters
+    ----------
+    theta : (B, N, M) match potentials.
+    A : (B, N, M) per-cell gap potentials.
+    lengths : optional tuple of (B,) arrays ``(ln, lm)`` of true lengths.
+    """
+    backend, _ = get_backend(backend)
+    score, _ = _build(mode, operator, backend)
+    ln, lm = _lengths(theta, lengths)
+    return score(theta, A, ln, lm)
+
+
+def expected_alignment(theta, A, lengths=None, Et=None, *, mode="nw",
+                       operator="softmax", backend=None, return_gap=False):
+    """Expected (posterior marginal) alignment matrix — ``decode``.
+
+    Differentiable (twice) w.r.t. ``theta`` and ``A``.  With
+    ``return_gap=True`` also returns the expected gap-potential usage
+    ``E_A = dVt/dA``.
+    """
+    backend, _ = get_backend(backend)
+    _, expected = _build(mode, operator, backend)
+    ln, lm = _lengths(theta, lengths)
+    if Et is None:
+        Et = jnp.ones((theta.shape[0],), theta.dtype)
+    E_theta, E_A = expected(theta, A, Et, ln, lm)
+    if return_gap:
+        return E_theta, E_A
+    return E_theta
+
+
+# ---------------------------------------------------------------------------
+# Traceback (host-side greedy walk; reference: deepblast/nw.py:401-444)
+# ---------------------------------------------------------------------------
+
+def traceback(grad):
+    """Greedy argmax walk over an expected-alignment matrix.
+
+    ``grad`` is a single pair's (N, M) matrix (numpy or jax array), already
+    sliced to true lengths.  Returns a list of ``(i, j, state)`` tuples with
+    states (x, m, y) = (0, 1, 2), identical to the reference walk including
+    its tie-breaking order (left, diag, up) and trailing-gap padding.
+    """
+    grad = np.asarray(grad)
+    m, x, y = 1, 0, 2
+    N, M = grad.shape
+    i, j = N - 1, M - 1
+    states = [(i, j, m)]
+    neg = -100000.0
+    while True:
+        left = neg if i <= 0 else grad[i - 1, j]
+        diag = neg if (i <= 0 and j <= 0) else grad[i - 1, j - 1]
+        upper = neg if j <= 0 else grad[i, j - 1]
+        if left == neg and diag == neg and upper == neg:
+            break
+        ij = int(np.argmax([left, diag, upper]))
+        if ij == 0:
+            i, s = i - 1, x
+        elif ij == 1:
+            i, j, s = i - 1, j - 1, m
+        else:
+            j, s = j - 1, y
+        states.append((i, j, s))
+    while i > 0:
+        i -= 1
+        states.append((i, j, x))
+    while j > 0:
+        j -= 1
+        states.append((i, j, y))
+    return states[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Decoder façade mirroring the reference nn.Module API
+# (reference: deepblast/nw.py:389-458, deepblast/sw.py:316-384)
+# ---------------------------------------------------------------------------
+
+class AlignmentDecoder:
+    """Callable façade bundling score / decode / traceback for one mode."""
+
+    mode = "nw"
+
+    def __init__(self, operator="softmax", backend=None):
+        self.operator = operator
+        self.backend = backend
+
+    def __call__(self, theta, A, lengths=None):
+        return alignment_score(theta, A, lengths, mode=self.mode,
+                               operator=self.operator, backend=self.backend)
+
+    forward = __call__
+
+    def decode(self, theta, A, lengths=None, Et=None, return_gap=False):
+        return expected_alignment(theta, A, lengths, Et, mode=self.mode,
+                                  operator=self.operator,
+                                  backend=self.backend,
+                                  return_gap=return_gap)
+
+    @staticmethod
+    def traceback(grad):
+        return traceback(grad)
+
+
+class NeedlemanWunschDecoder(AlignmentDecoder):
+    mode = "nw"
+
+
+class SmithWatermanDecoder(AlignmentDecoder):
+    mode = "sw"

@@ -1,0 +1,463 @@
+"""Pallas TPU wavefront kernels for the smoothed alignment DP.
+
+This is the performance backend replacing the reference's Numba-CUDA kernels
+(reference: deepblast/nw_cuda.py:46-165, deepblast/sw_cuda.py:46-165).  The
+reference launches one CUDA *thread* per pair, each running the whole O(N*M)
+recursion serially with a 2-row rolling buffer (deepblast/nw_cuda.py:46-79).
+Here each grid step processes one anti-diagonal for a whole sublane-tile of
+pairs at once:
+
+* grid = (batch_tiles, K) with K = N + M - 1 anti-diagonals; the diagonal
+  axis is innermost and sequential, the DP carry lives in VMEM scratch.
+* every input/output stream is in diagonal-major (skew) layout
+  ``(K, B, L)`` so each step's block is a dense, contiguous
+  ``(B_tile, L)`` tile — sublane = batch, lane = diagonal slot.  Pallas
+  double-buffers the HBM streams across grid steps automatically.
+* the per-step compute is pure VPU work of width ``B_tile * L`` — i.e.
+  ``B_tile * L``-way parallelism per diagonal versus the reference's
+  ``B``-way (one lane per pair), which is where the on-paper >=10x headroom
+  of BASELINE.md comes from.
+
+The boundary conditions of the four passes (masking, terminal selection,
+seeding, and the clamped off-end diagonal reads of the reverse passes) are
+identical to :mod:`deepblast_tpu.ops.dp_scan`, which is the oracle this
+backend is parity-tested against (interpreter mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deepblast_tpu.ops import smooth
+from deepblast_tpu.ops.dp_scan import MODE_BOUNDS
+
+__all__ = [
+    "forward_pallas",
+    "backward_pallas",
+    "adjoint_forward_pallas",
+    "adjoint_backward_pallas",
+    "register",
+]
+
+# Batch sublane-tile per kernel instance.  8 is the fp32 sublane quantum; a
+# larger tile amortises per-step pipeline overhead when the batch allows.
+BTILE = 8
+LANE = 128
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _shr(v):
+    """out[:, i] = v[:, i-1]; out[:, 0] = 0."""
+    z = jnp.zeros((v.shape[0], 1), v.dtype)
+    return jnp.concatenate([z, v[:, :-1]], axis=1)
+
+
+def _shl(v):
+    """out[:, i] = v[:, i+1]; out[:, -1] = 0."""
+    z = jnp.zeros((v.shape[0], 1), v.dtype)
+    return jnp.concatenate([v[:, 1:], z], axis=1)
+
+
+def _masks(iarr, d, ln, lm, lo):
+    j = d - iarr
+    valid = (iarr >= lo) & (j >= lo) & (iarr <= ln) & (j <= lm)
+    term = (iarr == ln) & (d == ln + lm)
+    return valid, term
+
+
+def _pad_skew(x, Bp, L, shift):
+    """(K, B, N) -> (K, Bp, L); with shift=1 slot ``i`` holds row ``i-1``."""
+    K, B, N = x.shape
+    return jnp.pad(x, ((0, 0), (0, Bp - B), (shift, L - N - shift)))
+
+
+def _pad_vec(v, Bp, dtype):
+    B = v.shape[0]
+    return jnp.pad(v.astype(dtype), (0, Bp - B)).reshape(Bp, 1)
+
+
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def _len_spec(btile):
+    return pl.BlockSpec((btile, 1), lambda b, k: (_i32(b), _i32(0)),
+                        memory_space=pltpu.VMEM)
+
+
+def _vt_spec(btile):
+    return pl.BlockSpec((btile, 1), lambda b, k: (_i32(b), _i32(0)),
+                        memory_space=pltpu.VMEM)
+
+
+def _diag_spec(btile, L, rowfn):
+    return pl.BlockSpec(
+        (1, btile, L), lambda b, k: (_i32(rowfn(k)), _i32(b), _i32(0)),
+        memory_space=pltpu.VMEM)
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+
+
+def _btile_for(B):
+    for t in (32, 16, 8):
+        if B >= t:
+            return t
+    return 8
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
+                vt_ref, qx_ref, qm_ref, qy_ref,
+                v1, v2, *, lo, operator):
+    k = pl.program_id(1)
+    d = k + 2
+
+    @pl.when(k == 0)
+    def _():
+        v1[:] = jnp.zeros_like(v1)
+        v2[:] = jnp.zeros_like(v2)
+        vt_ref[:] = jnp.zeros_like(vt_ref)
+
+    Bt, L = v1.shape
+    iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
+    ln = ln_ref[:]
+    lm = lm_ref[:]
+    tsh = th_ref[0]
+    ash = ad_ref[0]
+    v1v = v1[:]
+    xarg = ash + _shr(v1v)
+    marg = _shr(v2[:])
+    yarg = ash + v1v
+    val, (qx, qm, qy) = smooth.max3(operator, xarg, marg, yarg)
+    vnew = tsh + val
+    valid, term = _masks(iarr, d, ln, lm, lo)
+    zero = jnp.zeros((), vnew.dtype)
+    vnew = jnp.where(valid, vnew, zero)
+    qx_ref[0] = jnp.where(valid, qx, zero)
+    qm_ref[0] = jnp.where(valid, qm, zero)
+    qy_ref[0] = jnp.where(valid, qy, zero)
+    vt_ref[:] += jnp.sum(jnp.where(term, vnew, zero), axis=1, keepdims=True)
+    v2[:] = v1v
+    v1[:] = vnew
+
+
+def forward_pallas(thetad, Ad, ln, lm, *, mode="nw", operator="softmax"):
+    K, B, N = thetad.shape
+    dtype = thetad.dtype
+    btile = _btile_for(B)
+    L = _round_up(N + 1, LANE)
+    Bp = _round_up(B, btile)
+    th = _pad_skew(thetad, Bp, L, 1)
+    ad = _pad_skew(Ad, Bp, L, 1)
+    lnp = _pad_vec(ln, Bp, jnp.int32)
+    lmp = _pad_vec(lm, Bp, jnp.int32)
+    lo = MODE_BOUNDS[mode][0]
+
+    kern = functools.partial(_fwd_kernel, lo=lo, operator=operator)
+    vt, qx, qm, qy = pl.pallas_call(
+        kern,
+        grid=(Bp // btile, K),
+        in_specs=[
+            _len_spec(btile), _len_spec(btile),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+        ],
+        out_specs=[
+            _vt_spec(btile),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1), dtype),
+            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((btile, L), dtype),
+            pltpu.VMEM((btile, L), dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(lnp, lmp, th, ad)
+    return vt[:B, 0], (qx, qm, qy)
+
+
+# ---------------------------------------------------------------------------
+# backward (expected alignment)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(ln_ref, lm_ref, et_ref, qx1_ref, qm2_ref, qy1_ref,
+                e_ref, e1, e2, *, lo, K):
+    kk = pl.program_id(1)
+    r = K - 1 - kk
+    d = r + 2
+
+    @pl.when(kk == 0)
+    def _():
+        e1[:] = jnp.zeros_like(e1)
+        e2[:] = jnp.zeros_like(e2)
+
+    Bt, L = e1.shape
+    iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
+    ln = ln_ref[:]
+    lm = lm_ref[:]
+    e1v = e1[:]
+    e2v = e2[:]
+    # clamped off-end reads are harmless: they always multiply a zero carry
+    enew = (_shl(qx1_ref[0] * e1v) + _shl(qm2_ref[0] * e2v)
+            + qy1_ref[0] * e1v)
+    valid, term = _masks(iarr, d, ln, lm, lo)
+    zero = jnp.zeros((), enew.dtype)
+    enew = jnp.where(valid, enew, zero)
+    enew = enew + jnp.where(term, et_ref[:], zero)
+    e_ref[0] = enew
+    e2[:] = e1v
+    e1[:] = enew
+
+
+def backward_pallas(Et, qs, ln, lm, *, mode="nw"):
+    qx, qm, qy = qs
+    K, Bp, L = qx.shape
+    dtype = qx.dtype
+    btile = _btile_for(Bp)
+    B = Et.shape[0]
+    lnp = _pad_vec(ln, Bp, jnp.int32)
+    lmp = _pad_vec(lm, Bp, jnp.int32)
+    etp = _pad_vec(Et, Bp, dtype)
+    lo = MODE_BOUNDS[mode][1]
+
+    def row(off):
+        return lambda k: jnp.minimum(K - 1, K - 1 - k + off)
+
+    kern = functools.partial(_bwd_kernel, lo=lo, K=K)
+    (Ediag,) = pl.pallas_call(
+        kern,
+        grid=(Bp // btile, K),
+        in_specs=[
+            _len_spec(btile), _len_spec(btile), _len_spec(btile),
+            _diag_spec(btile, L, row(1)),   # qx @ d+1
+            _diag_spec(btile, L, row(2)),   # qm @ d+2
+            _diag_spec(btile, L, row(1)),   # qy @ d+1
+        ],
+        out_specs=[
+            _diag_spec(btile, L, lambda k: K - 1 - k),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((K, Bp, L), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((btile, L), dtype),
+            pltpu.VMEM((btile, L), dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(lnp, lmp, etp, qx, qm, qy)
+    return Ediag
+
+
+# ---------------------------------------------------------------------------
+# adjoint forward (JVP of forward; Hessian-product for Qd)
+# ---------------------------------------------------------------------------
+
+def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, qx_ref, qm_ref, qy_ref,
+                    vtd_ref, qdx_ref, qdm_ref, qdy_ref,
+                    vd1, vd2, *, lo, operator):
+    k = pl.program_id(1)
+    d = k + 2
+
+    @pl.when(k == 0)
+    def _():
+        vd1[:] = jnp.zeros_like(vd1)
+        vd2[:] = jnp.zeros_like(vd2)
+        vtd_ref[:] = jnp.zeros_like(vtd_ref)
+
+    Bt, L = vd1.shape
+    iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
+    ln = ln_ref[:]
+    lm = lm_ref[:]
+    ztsh = zt_ref[0]
+    zash = za_ref[0]
+    qx = qx_ref[0]
+    qm = qm_ref[0]
+    qy = qy_ref[0]
+    vd1v = vd1[:]
+    xargd = zash + _shr(vd1v)
+    margd = _shr(vd2[:])
+    yargd = zash + vd1v
+    vdnew = ztsh + qx * xargd + qm * margd + qy * yargd
+    qdx, qdm, qdy = smooth.hessian3(
+        operator, (qx, qm, qy), (xargd, margd, yargd))
+    valid, term = _masks(iarr, d, ln, lm, lo)
+    zero = jnp.zeros((), vdnew.dtype)
+    vdnew = jnp.where(valid, vdnew, zero)
+    qdx_ref[0] = jnp.where(valid, qdx, zero)
+    qdm_ref[0] = jnp.where(valid, qdm, zero)
+    qdy_ref[0] = jnp.where(valid, qdy, zero)
+    vtd_ref[:] += jnp.sum(jnp.where(term, vdnew, zero), axis=1, keepdims=True)
+    vd2[:] = vd1v
+    vd1[:] = vdnew
+
+
+def adjoint_forward_pallas(qs, Ztd, ZAd, ln, lm, *, mode="nw",
+                           operator="softmax"):
+    qx, qm, qy = qs
+    K, Bp, L = qx.shape
+    dtype = qx.dtype
+    btile = _btile_for(Bp)
+    _, B, N = Ztd.shape
+    zt = _pad_skew(Ztd, Bp, L, 1)
+    za = _pad_skew(ZAd, Bp, L, 1)
+    lnp = _pad_vec(ln, Bp, jnp.int32)
+    lmp = _pad_vec(lm, Bp, jnp.int32)
+    lo = MODE_BOUNDS[mode][2]
+
+    kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator)
+    vtd, qdx, qdm, qdy = pl.pallas_call(
+        kern,
+        grid=(Bp // btile, K),
+        in_specs=[
+            _len_spec(btile), _len_spec(btile),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+        ],
+        out_specs=[
+            _vt_spec(btile),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+            _diag_spec(btile, L, lambda k: k),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1), dtype),
+            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((btile, L), dtype),
+            pltpu.VMEM((btile, L), dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(lnp, lmp, zt, za, qx, qm, qy)
+    return vtd[:B, 0], (qdx, qdm, qdy)
+
+
+# ---------------------------------------------------------------------------
+# adjoint backward
+# ---------------------------------------------------------------------------
+
+def _adj_bwd_kernel(ln_ref, lm_ref,
+                    qx1_ref, qm2_ref, qy1_ref,
+                    qdx1_ref, qdm2_ref, qdy1_ref, e_ref,
+                    ed_ref, ed1, ed2, e1, e2, *, lo, K):
+    kk = pl.program_id(1)
+    r = K - 1 - kk
+    d = r + 2
+
+    @pl.when(kk == 0)
+    def _():
+        ed1[:] = jnp.zeros_like(ed1)
+        ed2[:] = jnp.zeros_like(ed2)
+        e1[:] = jnp.zeros_like(e1)
+        e2[:] = jnp.zeros_like(e2)
+
+    Bt, L = ed1.shape
+    iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
+    ln = ln_ref[:]
+    lm = lm_ref[:]
+    ed1v = ed1[:]
+    ed2v = ed2[:]
+    e1v = e1[:]
+    e2v = e2[:]
+    # every product pairs a (possibly clamped) stream read with a carried
+    # value that is exactly zero off the end, so no garbage can leak in
+    ednew = (_shl(qdx1_ref[0] * e1v + qx1_ref[0] * ed1v)
+             + _shl(qdm2_ref[0] * e2v + qm2_ref[0] * ed2v)
+             + qdy1_ref[0] * e1v + qy1_ref[0] * ed1v)
+    valid, _ = _masks(iarr, d, ln, lm, lo)
+    ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
+    ed_ref[0] = ednew
+    ed2[:] = ed1v
+    ed1[:] = ednew
+    e2[:] = e1v
+    e1[:] = e_ref[0]
+
+
+def adjoint_backward_pallas(Ediag, qs, qds, ln, lm, *, mode="nw"):
+    qx, qm, qy = qs
+    qdx, qdm, qdy = qds
+    K, Bp, L = qx.shape
+    dtype = qx.dtype
+    btile = _btile_for(Bp)
+    lnp = _pad_vec(ln, Bp, jnp.int32)
+    lmp = _pad_vec(lm, Bp, jnp.int32)
+    lo = MODE_BOUNDS[mode][3]
+
+    def row(off):
+        return lambda k: jnp.minimum(K - 1, K - 1 - k + off)
+
+    kern = functools.partial(_adj_bwd_kernel, lo=lo, K=K)
+    (Eddiag,) = pl.pallas_call(
+        kern,
+        grid=(Bp // btile, K),
+        in_specs=[
+            _len_spec(btile), _len_spec(btile),
+            _diag_spec(btile, L, row(1)),   # qx @ d+1
+            _diag_spec(btile, L, row(2)),   # qm @ d+2
+            _diag_spec(btile, L, row(1)),   # qy @ d+1
+            _diag_spec(btile, L, row(1)),   # qdx @ d+1
+            _diag_spec(btile, L, row(2)),   # qdm @ d+2
+            _diag_spec(btile, L, row(1)),   # qdy @ d+1
+            _diag_spec(btile, L, row(0)),   # E @ d (carried to d+1, d+2)
+        ],
+        out_specs=[
+            _diag_spec(btile, L, lambda k: K - 1 - k),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((K, Bp, L), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((btile, L), dtype),
+            pltpu.VMEM((btile, L), dtype),
+            pltpu.VMEM((btile, L), dtype),
+            pltpu.VMEM((btile, L), dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(lnp, lmp, qx, qm, qy, qdx, qdm, qdy, Ediag)
+    return Eddiag
+
+
+def register(make_default=None):
+    """Register the pallas backend with the DP dispatcher.
+
+    By default it becomes the default backend on TPU hosts.
+    """
+    from deepblast_tpu.ops import dp
+    if make_default is None:
+        make_default = jax.default_backend() == "tpu"
+    dp.register_backend("pallas", {
+        "forward": forward_pallas,
+        "backward": backward_pallas,
+        "adjoint_forward": adjoint_forward_pallas,
+        "adjoint_backward": adjoint_backward_pallas,
+    }, make_default=make_default)

@@ -1,0 +1,101 @@
+"""Pallas wavefront kernels vs. the lax.scan oracle (interpreter mode on
+CPU; the same tests compile natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepblast_tpu.ops import dp as dp_mod
+from deepblast_tpu.ops import dp_pallas, dp_scan
+from deepblast_tpu.ops.skew import skew, unskew
+
+MODES = ["nw", "sw"]
+
+
+def _problem(rng, B, N, M, dtype=jnp.float32):
+    theta = jnp.asarray(rng.standard_normal((B, N, M)), dtype)
+    A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, dtype)
+    ln = jnp.asarray(rng.integers(3, N + 1, size=B))
+    lm = jnp.asarray(rng.integers(3, M + 1, size=B))
+    ln = ln.at[0].set(N)
+    lm = lm.at[0].set(M)
+    return theta, A, ln, lm
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_forward_backward_parity(mode):
+    rng = np.random.default_rng(0)
+    B, N, M = 4, 9, 7
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    thetad, Ad = skew(theta), skew(A)
+    Et = jnp.asarray(rng.standard_normal(B), jnp.float32)
+
+    vt_s, qs_s = dp_scan.forward_scan(thetad, Ad, ln, lm, mode=mode)
+    vt_p, qs_p = dp_pallas.forward_pallas(thetad, Ad, ln, lm, mode=mode)
+    np.testing.assert_allclose(vt_p, vt_s, rtol=2e-6, atol=2e-6)
+
+    E_s = unskew(dp_scan.backward_scan(Et, qs_s, ln, lm, mode=mode),
+                 N, M, offset=1)
+    E_p = unskew(dp_pallas.backward_pallas(Et, qs_p, ln, lm, mode=mode),
+                 N, M, offset=1)[:B]
+    np.testing.assert_allclose(E_p, E_s, rtol=2e-6, atol=2e-6)
+
+    for a, b in zip(qs_p, qs_s):
+        np.testing.assert_allclose(
+            unskew(a, N, M, offset=1)[:B], unskew(b, N, M, offset=1),
+            rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_adjoint_parity(mode):
+    rng = np.random.default_rng(1)
+    B, N, M = 3, 6, 8
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    Zt = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    ZA = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    Et = jnp.ones(B, jnp.float32)
+    thetad, Ad = skew(theta), skew(A)
+    Ztd, ZAd = skew(Zt), skew(ZA)
+
+    _, qs_s = dp_scan.forward_scan(thetad, Ad, ln, lm, mode=mode)
+    Ediag_s = dp_scan.backward_scan(Et, qs_s, ln, lm, mode=mode)
+    vtd_s, qds_s = dp_scan.adjoint_forward_scan(
+        qs_s, Ztd, ZAd, ln, lm, mode=mode)
+    Ed_s = unskew(dp_scan.adjoint_backward_scan(
+        Ediag_s, qs_s, qds_s, ln, lm, mode=mode), N, M, offset=1)
+
+    _, qs_p = dp_pallas.forward_pallas(thetad, Ad, ln, lm, mode=mode)
+    Ediag_p = dp_pallas.backward_pallas(Et, qs_p, ln, lm, mode=mode)
+    vtd_p, qds_p = dp_pallas.adjoint_forward_pallas(
+        qs_p, Ztd, ZAd, ln, lm, mode=mode)
+    Ed_p = unskew(dp_pallas.adjoint_backward_pallas(
+        Ediag_p, qs_p, qds_p, ln, lm, mode=mode), N, M, offset=1)[:B]
+
+    np.testing.assert_allclose(vtd_p, vtd_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        unskew(qds_p[0], N, M, offset=1)[:B],
+        unskew(qds_s[0], N, M, offset=1), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(Ed_p, Ed_s, rtol=2e-5, atol=2e-5)
+
+
+def test_end_to_end_backend_parity():
+    """alignment_score/expected_alignment through the dispatcher must agree
+    between backends, including gradients."""
+    rng = np.random.default_rng(2)
+    B, N, M = 2, 5, 6
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    W = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+
+    def loss(backend):
+        def f(theta, A):
+            E = dp_mod.expected_alignment(
+                theta, A, (ln, lm), backend=backend)
+            return jnp.sum(E * W)
+        return f
+
+    l_s, g_s = jax.value_and_grad(loss("scan"), argnums=(0, 1))(theta, A)
+    l_p, g_p = jax.value_and_grad(loss("pallas"), argnums=(0, 1))(theta, A)
+    np.testing.assert_allclose(l_p, l_s, rtol=1e-5)
+    np.testing.assert_allclose(g_p[0], g_s[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_p[1], g_s[1], rtol=1e-4, atol=1e-5)
