@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Driver benchmark: alignments/sec/chip for the soft-NW expected-alignment
+computation (forward + backward DP passes), len-512 pairs — the BASELINE.md
+headline config (reference harness: deepblast/tests/cuda_timing.py measures
+the same fwd+bwd pair at B=1024, 800x800 on one GPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against an analytic model of the reference CUDA
+kernel (deepblast/nw_cuda.py): one serial thread per pair, ~80 cycles/cell
+(3 exp + 1 log on the SFU per cell, serial dependence), batch-wide
+concurrency, fwd+bwd — ~50k alignments/s at len 512 on an A100-class GPU.
+That is deliberately optimistic for the reference, so the reported speedup
+is conservative.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_CUDA_ALIGNMENTS_PER_SEC = 50_000.0
+
+
+def main():
+    from deepblast_tpu.ops import dp as dp_ops
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "scan"
+    B, N, M = (256, 512, 512) if on_tpu else (8, 64, 64)
+
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, jnp.float32)
+    ln = jnp.full((B,), N, jnp.int32)
+    lm = jnp.full((B,), M, jnp.int32)
+
+    @jax.jit
+    def decode(theta, A):
+        return dp_ops.expected_alignment(
+            theta, A, (ln, lm), mode="nw", backend=backend)
+
+    decode(theta, A).block_until_ready()  # compile
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        decode(theta, A).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    value = B / dt
+    # normalise to the len-512 headline if measured on the small CPU config
+    if not on_tpu:
+        value *= (N / 512.0) * (M / 512.0)
+    print(json.dumps({
+        "metric": "alignments/sec/chip (soft-NW fwd+bwd, len-512)",
+        "value": round(value, 2),
+        "unit": "alignments/s",
+        "vs_baseline": round(value / REFERENCE_CUDA_ALIGNMENTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,9 +45,10 @@ class BiLM(nn.Module):
 
     def setup(self):
         self.embed = nn.Embed(self.nin, self.embedding_dim)
-        # tied: the same cells run both directions
-        self.cells = [nn.OptimizedLSTMCell(self.hidden_dim, name=f"lstm{i}")
-                      for i in range(self.num_layers)]
+        # tied: the same cell parameters run both directions
+        self.rnns = [
+            nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim), name=f"lstm{i}")
+            for i in range(self.num_layers)]
         self.linear = nn.Dense(self.nout)
 
     @property
@@ -58,9 +59,9 @@ class BiLM(nn.Module):
         """Run the stacked cells over ``inputs``; returns per-layer states."""
         outs = []
         h = inputs
-        for cell in self.cells:
-            rnn = nn.RNN(cell, reverse=reverse, keep_order=True)
-            h = rnn(h, seq_lengths=lengths)
+        for rnn in self.rnns:
+            h = rnn(h, seq_lengths=lengths, reverse=reverse,
+                    keep_order=True)
             outs.append(h)
         return outs
 

@@ -15,7 +15,11 @@ with unit-stride lane access — the TPU analogue of the reference CUDA
 kernel's per-thread serial loop (reference: deepblast/nw_cuda.py:46-79), but
 with ``B x N``-way parallelism per step instead of ``B``-way.
 
-This is the "wavefront" layout promised in SURVEY.md §5.7 / §7 stage 3.
+Implementation note: both transforms are pure pad/reshape/transpose layout
+ops — no gather.  Shifting row ``i`` right by ``i`` positions is the same as
+re-reading an ``(N, N+M)`` row-major buffer with row stride ``N+M-1``, so a
+zero-pad followed by a flat reshape with the shorter stride performs the
+whole skew; TPU gathers would be orders of magnitude slower.
 """
 
 from __future__ import annotations
@@ -36,41 +40,24 @@ def skew(x):
     """
     B, N, M = x.shape
     K = N + M - 1
-    d = jnp.arange(K)[None, :]                  # (1, K)
-    i = jnp.arange(N)[:, None]                  # (N, 1)
-    j = d - i                                   # (N, K)
-    valid = (j >= 0) & (j < M)
-    jc = jnp.clip(j, 0, M - 1)
-    # gather: out[b, i, d] = x[b, i, jc[i, d]]
-    out = jnp.take_along_axis(x, jc[None].repeat(B, axis=0), axis=2)
-    out = jnp.where(valid[None], out, jnp.zeros((), x.dtype))
-    return jnp.transpose(out, (2, 0, 1))        # (K, B, N)
+    W = M + N
+    y = jnp.pad(x, ((0, 0), (0, 0), (0, N)))            # (B, N, W)
+    flat = y.reshape(B, N * W)[:, :N * (W - 1)]
+    z = flat.reshape(B, N, W - 1)[:, :, :K]             # z[b, i, d]
+    return jnp.transpose(z, (2, 0, 1))
 
 
 def unskew(s, N: int, M: int, offset: int = 0):
-    """Inverse of :func:`skew` for buffers indexed by DP row ``i``.
+    """Inverse of :func:`skew` for diagonal buffers of slot width ``L``.
 
-    ``s`` has shape ``(K, B, L)`` holding diagonals of a DP quantity where
-    position ``i`` on diagonal row ``d`` corresponds to matrix cell
-    ``(i - offset, d - i + offset)`` of the output... concretely this inverts
-    the layouts used by the DP passes:
-
-    * ``offset=0``  : ``s[d, b, i] = out[b, i, d - i]``  (theta-like, L >= N)
-    * ``offset=1``  : ``s[d, b, i] = out[b, i - 1, d - i + 1]`` — used for the
-      V/E-style buffers of length ``N + 1`` whose index ``i`` is the DP row
-      (1-based), stored on diagonal ``k = i + j`` at slot ``i`` with
-      ``d = k - 2``.
-
-    Returns ``(B, N, M)``.
+    ``s[d, b, i]`` holds the value of matrix cell ``(i - offset, d - i +
+    offset)`` — i.e. DP quantities whose slot index ``i`` is the (1-based,
+    when ``offset=1``) DP row stored on diagonal ``k = i + j`` at row
+    ``d = k - 2``.  Returns ``out (B, N, M)`` with
+    ``out[b, r, c] = s[r + c, b, r + offset]``.
     """
     K, B, L = s.shape
-    st = jnp.transpose(s, (1, 0, 2))            # (B, K, L)
-    r = jnp.arange(N)[:, None]                  # (N, 1)
-    c = jnp.arange(M)[None, :]                  # (1, M)
-    d = r + c                                   # (N, M) diagonal row
-    slot = r + offset                           # (N, 1) position on diagonal
-    flat = d * L + jnp.broadcast_to(slot, (N, M))
-    stf = st.reshape(B, K * L)
-    out = jnp.take_along_axis(
-        stf, flat.reshape(1, N * M).repeat(B, axis=0), axis=1)
-    return out.reshape(B, N, M)
+    st = jnp.transpose(s, (1, 2, 0))                    # (B, L, K)
+    u = st[:, offset:offset + N, :]                     # (B, N, K)
+    flat = jnp.pad(u.reshape(B, N * K), ((0, 0), (0, N)))
+    return flat.reshape(B, N, K + 1)[:, :, :M]

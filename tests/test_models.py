@@ -30,7 +30,7 @@ def test_bilm_encode_shapes_and_masking():
     m = BiLM(nin=22, nout=21, embedding_dim=8, hidden_dim=8, num_layers=2)
     tok = jnp.asarray(np.random.default_rng(0).integers(0, 21, (2, 9)))
     lengths = jnp.asarray([9, 5])
-    params = m.init(jax.random.key(0), tok, lengths, method=BiLM.encode)
+    params = m.init(jax.random.key(0), tok, lengths)
     h = m.apply(params, tok, lengths, method=BiLM.encode)
     assert h.shape == (2, 9, 2 * 2 * 8)
     logp = m.apply(params, tok, lengths)
