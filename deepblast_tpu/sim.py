@@ -86,7 +86,10 @@ def _sample_hmm(transition_matrix, means, covs, start_state, n_samples,
     emissions = np.zeros((n_samples, n_features))
     prev = start_state
     for i in range(n_samples):
-        state = random_state.choice(n_states, p=transition_matrix[:, prev])
+        # NOTE: the reference indexes columns (deepblast/utils.py:79-80),
+        # which are not normalised and make numpy raise — its make_data is
+        # dead code upstream.  Rows are the from-state distributions.
+        state = random_state.choice(n_states, p=transition_matrix[prev])
         emissions[i] = random_state.multivariate_normal(
             means[state], covs[state])
         states[i] = state
@@ -110,5 +113,6 @@ def make_hmm_data(T=20):
     ll = np.concatenate([
         multivariate_normal(mu, cov).logpdf(emissions)[:, None]
         for mu, cov in zip(means, covs)], axis=1)
-    theta = ll[:, :, None] + np.log(transition_matrix)[None]
+    with np.errstate(divide="ignore"):   # structural zeros -> -inf
+        theta = ll[:, :, None] + np.log(transition_matrix)[None]
     return states, emissions, theta

@@ -201,11 +201,16 @@ def test_traceback_golden():
     # path must start at (0,0)-ish after gap padding and end at (N-1, M-1)
     assert states[-1][:2] == (N - 1, M - 1)
     assert states[0][0] == 0 or states[0][1] == 0
-    # transitions are valid single steps
-    for (i0, j0, _), (i1, j1, s) in zip(states, states[1:]):
+    # transitions are valid single steps; a cell's state labels the move
+    # out of it (the reference's tape-consumption convention)
+    for (i0, j0, s0), (i1, j1, _) in zip(states, states[1:]):
         di, dj = i1 - i0, j1 - j0
         assert (di, dj) in {(1, 0), (0, 1), (1, 1)}
-        assert s == {(1, 0): 0, (1, 1): 1, (0, 1): 2}[(di, dj)]
+        assert s0 == {(1, 0): 0, (1, 1): 1, (0, 1): 2}[(di, dj)]
+    # the label sequence consumes both sequences exactly
+    xs = sum(1 for _, _, s in states if s in (0, 1))
+    ys = sum(1 for _, _, s in states if s in (1, 2))
+    assert xs == N and ys == M
 
 
 def test_second_order_finite_difference():
