@@ -12,10 +12,13 @@ kernel (deepblast/nw_cuda.py): one serial thread per pair, ~80 cycles/cell
 concurrency, fwd+bwd — ~50k alignments/s at len 512 on an A100-class GPU.
 That is deliberately optimistic for the reference, so the reported speedup
 is conservative.
+
+Timing note: the op is repeated with a data dependency inside one jitted
+program (deepblast_tpu.utils.timing) because tunneled TPU backends have a
+>30 ms host round-trip per dispatch and an unreliable sync fence.
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +29,7 @@ REFERENCE_CUDA_ALIGNMENTS_PER_SEC = 50_000.0
 
 def main():
     from deepblast_tpu.ops import dp as dp_ops
+    from deepblast_tpu.utils.timing import time_op
 
     on_tpu = jax.default_backend() == "tpu"
     backend = "pallas" if on_tpu else "scan"
@@ -37,18 +41,11 @@ def main():
     ln = jnp.full((B,), N, jnp.int32)
     lm = jnp.full((B,), M, jnp.int32)
 
-    @jax.jit
-    def decode(theta, A):
+    def decode(_eps=0.0):
         return dp_ops.expected_alignment(
-            theta, A, (ln, lm), mode="nw", backend=backend)
+            theta + _eps, A, (ln, lm), mode="nw", backend=backend)
 
-    decode(theta, A).block_until_ready()  # compile
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        decode(theta, A).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = time_op(decode, reps=8 if on_tpu else 2, iters=5)
     value = B / dt
     # normalise to the len-512 headline if measured on the small CPU config
     if not on_tpu:

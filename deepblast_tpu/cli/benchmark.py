@@ -13,23 +13,13 @@ import json
 import time
 
 
-def _time(fn, *args, iters=10):
-    import numpy as np
-    fn(*args)  # compile + warmup
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        fn(*args)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
-def run_config(B, N, M, mode, backend, depth, iters):
+def run_config(B, N, M, mode, backend, depth, iters, reps=4):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from deepblast_tpu.ops import dp as dp_ops
+    from deepblast_tpu.utils.timing import time_op
 
     rng = np.random.default_rng(0)
     theta = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
@@ -38,28 +28,22 @@ def run_config(B, N, M, mode, backend, depth, iters):
     lm = jnp.full((B,), M, jnp.int32)
 
     if depth == "fwd":
-        @jax.jit
-        def fn(t, a):
+        def op(_eps=0.0):
             return dp_ops.alignment_score(
-                t, a, (ln, lm), mode=mode, backend=backend)
+                theta + _eps, A, (ln, lm), mode=mode, backend=backend)
     elif depth == "fwd+bwd":
-        @jax.jit
-        def fn(t, a):
+        def op(_eps=0.0):
             return dp_ops.expected_alignment(
-                t, a, (ln, lm), mode=mode, backend=backend)
+                theta + _eps, A, (ln, lm), mode=mode, backend=backend)
     else:  # train: gradient through the decode (2nd-order path)
-        @jax.jit
-        def fn(t, a):
+        def op(_eps=0.0):
             def loss(t, a):
                 E = dp_ops.expected_alignment(
                     t, a, (ln, lm), mode=mode, backend=backend)
                 return jnp.sum(E * E)
-            return jax.grad(loss, argnums=(0, 1))(t, a)
+            return jax.grad(loss, argnums=(0, 1))(theta + _eps, A)
 
-    def run(t, a):
-        jax.block_until_ready(fn(t, a))
-
-    dt = _time(run, theta, A, iters=iters)
+    dt = time_op(op, reps=reps, iters=iters)
     return dict(B=B, N=N, M=M, mode=mode, backend=backend, depth=depth,
                 seconds=dt, alignments_per_sec=B / dt,
                 cell_updates_per_sec=B * N * M / dt)

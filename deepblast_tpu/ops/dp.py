@@ -96,7 +96,7 @@ def set_default_backend(name):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _build(mode: str, operator: str, backend: str):
+def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
     be = _BACKENDS[backend]
 
     def _run_forward(theta, A, ln, lm):
@@ -105,6 +105,8 @@ def _build(mode: str, operator: str, backend: str):
         return be["forward"](thetad, Ad, ln, lm, mode=mode, operator=operator)
 
     # -- level 2: the expected-alignment (gradient) map --------------------
+    # ``with_gap`` also emits E_A = dVt/dA; the decode hot path skips it
+    # (it is pure extra HBM traffic when only the alignment is consumed).
     @jax.custom_vjp
     def expected(theta, A, Et, lnf, lmf):
         out, _ = _expected_fwd(theta, A, Et, lnf, lmf)
@@ -118,17 +120,24 @@ def _build(mode: str, operator: str, backend: str):
         Ediag = be["backward"](Et, qs, ln, lm, mode=mode)
         # backends may return batch/lane-padded diagonal buffers
         E_theta = unskew(Ediag, N, M, offset=1)[:B]
-        E_A = unskew(Ediag * (qs[0] + qs[2]), N, M, offset=1)[:B]
-        return (E_theta, E_A), (qs, Ediag, Et, lnf, lmf)
+        if with_gap:
+            E_A = unskew(Ediag * (qs[0] + qs[2]), N, M, offset=1)[:B]
+            out = (E_theta, E_A)
+        else:
+            out = E_theta
+        return out, (qs, Ediag, Et, lnf, lmf)
 
     def _expected_bwd(res, cts):
         qs, Ediag, Et, lnf, lmf = res
-        Zt, Za = cts
+        if with_gap:
+            Zt, Za = cts
+        else:
+            Zt, Za = cts, None
         B, N, M = Zt.shape
         ln = lnf.astype(jnp.int32)
         lm = lmf.astype(jnp.int32)
         Ztd = skew(Zt)
-        ZAd = skew(Za)
+        ZAd = skew(Za) if Za is not None else jnp.zeros_like(Ztd)
         # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
         vtd, qds = be["adjoint_forward"](
             qs, Ztd, ZAd, ln, lm, mode=mode, operator=operator)
@@ -187,7 +196,7 @@ def alignment_score(theta, A, lengths=None, *, mode="nw",
     lengths : optional tuple of (B,) arrays ``(ln, lm)`` of true lengths.
     """
     backend, _ = get_backend(backend)
-    score, _ = _build(mode, operator, backend)
+    score, _ = _build(mode, operator, backend, True)
     ln, lm = _lengths(theta, lengths)
     return score(theta, A, ln, lm)
 
@@ -201,14 +210,13 @@ def expected_alignment(theta, A, lengths=None, Et=None, *, mode="nw",
     ``E_A = dVt/dA``.
     """
     backend, _ = get_backend(backend)
-    _, expected = _build(mode, operator, backend)
+    _, expected = _build(mode, operator, backend, bool(return_gap))
     ln, lm = _lengths(theta, lengths)
     if Et is None:
         Et = jnp.ones((theta.shape[0],), theta.dtype)
-    E_theta, E_A = expected(theta, A, Et, ln, lm)
     if return_gap:
-        return E_theta, E_A
-    return E_theta
+        return expected(theta, A, Et, ln, lm)
+    return expected(theta, A, Et, ln, lm)
 
 
 # ---------------------------------------------------------------------------
