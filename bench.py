@@ -41,11 +41,11 @@ def main():
     ln = jnp.full((B,), N, jnp.int32)
     lm = jnp.full((B,), M, jnp.int32)
 
-    def decode(_eps=0.0):
+    def decode(theta, A, _eps=0.0):
         return dp_ops.expected_alignment(
             theta + _eps, A, (ln, lm), mode="nw", backend=backend)
 
-    dt = time_op(decode, reps=8 if on_tpu else 2, iters=5)
+    dt = time_op(decode, theta, A, reps=8 if on_tpu else 2, iters=5)
     value = B / dt
     # normalise to the len-512 headline if measured on the small CPU config
     if not on_tpu:

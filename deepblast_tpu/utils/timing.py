@@ -5,6 +5,10 @@ unreliable ``block_until_ready`` fence, so single-dispatch timing is
 useless.  :func:`time_op` chains ``R`` data-dependent repetitions of the
 operation inside one jitted program, forces completion with a scalar host
 transfer, and reports the per-repetition time.
+
+Operands must be passed as ``args`` (not closed over): closure arrays
+become XLA constants and the compiler will happily spend minutes
+constant-folding hundreds of MB through layout ops.
 """
 
 from __future__ import annotations
@@ -18,30 +22,29 @@ import numpy as np
 __all__ = ["time_op"]
 
 
-def time_op(op, reps=8, iters=5, warmup=1):
-    """Median per-repetition seconds for ``op()``.
+def time_op(op, *args, reps=8, iters=5, warmup=1):
+    """Median per-repetition seconds for ``op(*args, _eps=...)``.
 
-    ``op`` is a nullary function returning one array (or pytree); it is
-    re-executed ``reps`` times inside a single jit with a scalar
-    data-dependency threaded between repetitions so XLA cannot collapse
-    them.
+    ``op`` is re-executed ``reps`` times inside a single jit with a scalar
+    data-dependency (`_eps`) threaded between repetitions so XLA cannot
+    collapse them.
     """
 
     @jax.jit
-    def repeated():
+    def repeated(*args):
         def body(c, _):
-            out = op(_eps=c * 1e-30)
+            out = op(*args, _eps=c * 1e-30)
             leaves = jax.tree_util.tree_leaves(out)
-            s = sum(jnp.sum(l) for l in leaves)
+            s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
             return s * 1e-30, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return c
 
     for _ in range(warmup):
-        float(repeated())
+        float(repeated(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(repeated())
+        float(repeated(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) / reps
