@@ -114,7 +114,10 @@ def _compiler_params():
 
 
 def _btile_for(B):
-    for t in (32, 16, 8):
+    # Bigger batch tiles amortise per-grid-step overhead; 128 keeps the
+    # worst kernel (adjoint backward: 7 streams x double-buffer + 4
+    # scratch) within ~7 MB of VMEM at L = 640.
+    for t in (128, 64, 32, 16, 8):
         if B >= t:
             return t
     return 8
