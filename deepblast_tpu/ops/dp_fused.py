@@ -61,15 +61,28 @@ def _skew_block(blk, KL):
     return jnp.swapaxes(rolled, 1, 2)
 
 
+def _sublane_rev(x):
+    """Reverse dim 1 with static slices (Mosaic has no `rev` primitive)."""
+    n = x.shape[1]
+    return jnp.concatenate(
+        [x[:, i:i + 1, :] for i in range(n - 1, -1, -1)], axis=1)
+
+
 def _unskew_block(sk, MB):
     """(Bt, KL, RB) -> (Bt, RB, MB); inverse of :func:`_skew_block`.
 
-    The roll is cyclic mod KL, so a per-row shift of ``-i`` is expressed as
-    the non-negative stride ``KL - 1``.
+    Mosaic only supports non-negative small strides and has no reverse
+    primitive in this toolchain, so the ``-i`` per-row shift is expressed
+    as ``rev . roll(shift=KL-RB+1, stride=+1) . rev`` over sublanes (for a
+    cyclic roll, conjugating a positive-stride roll with a reversal flips
+    the stride sign).
     """
-    r = jnp.swapaxes(sk, 1, 2)
+    r = jnp.swapaxes(sk, 1, 2)            # (Bt, RB, KL)
     KL = r.shape[2]
-    un = pltpu.roll(r, 0, 2, stride=KL - 1, stride_axis=1)
+    RBl = r.shape[1]
+    sh = KL - RBl + 1
+    un = _sublane_rev(
+        pltpu.roll(_sublane_rev(r), sh, 2, stride=1, stride_axis=1))
     return un[:, :, :MB]
 
 
@@ -82,7 +95,7 @@ def _shr_lane(v):
 def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
                 vt_ref, qx_ref, qm_ref, qy_ref,
                 qxr_ref, qmr_ref, qyc_ref, qmc_ref, qmcc_ref,
-                top_scr, left_scr, corner_scr,
+                top_scr, left_scr, corner_scr, topsk,
                 thsk, adsk, vsk, qxsk, qmsk, qysk,
                 *, lo, operator, MB, NS, MS):
     s = pl.program_id(1)
@@ -111,8 +124,12 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     left_col = jnp.where(m > 0, left_scr[:], zero)        # (Bt, RB)
     corner = jnp.where((s > 0) & (m > 0), corner_scr[:], zero)  # (Bt, 1)
     shr_left = _shr_lane(left_col)
+    # boundary row re-laid sublane-major so the walk can index it by d
+    topT = jnp.swapaxes(top_full[:, None, :], 1, 2)       # (Bt, MB, 1)
+    topsk[:] = jnp.pad(topT, ((0, 0), (0, KL - MB), (0, 0)))
 
-    vt_acc0 = jnp.zeros((BT, 1), dtype)
+
+    corner_b = jnp.broadcast_to(corner, (BT, RB))
 
     def step(d, carry):
         v1, v2, vt_acc = carry
@@ -120,11 +137,11 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
         adv = adsk[:, d, :]
         # top-row values V[-1, d] and V[-1, d-1]
         dm1 = jnp.maximum(d - 1, 0)
-        top2 = jax.lax.dynamic_slice(
-            jnp.pad(top_full, ((0, 0), (0, 2))), (0, dm1), (BT, 2))
-        top_at_d = jnp.where(d == 0, top2[:, 0:1], top2[:, 1:2])
-        top_d = jnp.where(d < MB, top_at_d, zero)
-        top_dm1 = jnp.where((d >= 1) & (d - 1 < MB), top2[:, 0:1], zero)
+        top_d = jnp.broadcast_to(
+            jnp.where(d < MB, topsk[:, d, 0:1], zero), (BT, RB))
+        top_dm1 = jnp.broadcast_to(
+            jnp.where((d >= 1) & (d - 1 < MB), topsk[:, dm1, 0:1], zero),
+            (BT, RB))
 
         is_lane0 = lane == 0
         is_j0 = lane == d                                 # local j == 0
@@ -133,7 +150,7 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
         x_base = jnp.where(is_lane0, top_d, v1s)          # V[i-1, j]
         m_base = jnp.where(is_lane0, top_dm1, v2s)        # V[i-1, j-1]
         m_base = jnp.where(is_j0, shr_left, m_base)
-        m_base = jnp.where(is_lane0 & (d == 0), corner, m_base)
+        m_base = jnp.where(is_lane0 & (d == 0), corner_b, m_base)
         y_base = jnp.where(is_j0, left_col, v1)           # V[i, j-1]
 
         xarg = adv + x_base
@@ -157,14 +174,15 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
         qysk[:, d, :] = qy
 
         term = (gi == ln - 1) & (gj == lm - 1)
-        vt_acc = vt_acc + jnp.sum(
-            jnp.where(term, vnew, zero), axis=1, keepdims=True)
+        vt_acc = vt_acc + jnp.where(term, vnew, zero)
         return vnew, v1, vt_acc
 
-    zerov = jnp.zeros((BT, RB), dtype)
+    # derive the zero init from real data: a constant-splat init would get a
+    # replicated Mosaic layout the loop body cannot re-materialise
+    zerov = th_blk[:, :, 0] * 0.0
     _, _, vt_acc = jax.lax.fori_loop(
-        0, RB + MB - 1, step, (zerov, zerov, vt_acc0))
-    vt_ref[:] += vt_acc
+        0, RB + MB - 1, step, (zerov, zerov, zerov))
+    vt_ref[:] += jnp.sum(vt_acc, axis=1, keepdims=True)
 
     v_nat = _unskew_block(vsk[:], MB)
     qx_nat = _unskew_block(qxsk[:], MB)
@@ -175,11 +193,11 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     qy_ref[:] = qy_nat
 
     # halo rows/cols for the reverse pass: this block's TOP row and LEFT col
-    qxr_ref[:] = qx_nat[:, 0:1, :]
-    qmr_ref[:] = qm_nat[:, 0:1, :]
-    qyc_ref[:] = qy_nat[:, :, 0:1]
-    qmc_ref[:] = qm_nat[:, :, 0:1]
-    qmcc_ref[:] = qm_nat[:, 0:1, 0:1]
+    qxr_ref[0] = qx_nat[:, 0, :]
+    qmr_ref[0] = qm_nat[:, 0, :]
+    qyc_ref[0] = qy_nat[:, :, 0]
+    qmc_ref[0] = qm_nat[:, :, 0]
+    qmcc_ref[0, 0] = qm_nat[:, 0, 0:1]
 
     # update boundary carries for the next blocks (read-before-write order)
     corner_scr[:] = top_full[:, MB - 1:MB]
@@ -214,11 +232,13 @@ def forward_fused(theta, A, ln, lm, *, mode="nw", operator="softmax"):
 
     len_spec = pl.BlockSpec((BT, 1), lambda b, s, m: (b, 0),
                             memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((BT, 1, MB), lambda b, s, m: (b, s, m),
+    # halo arrays lead with the small block-index dims so the trailing two
+    # block dims stay (8, 128)-aligned, as compiled TPU lowering requires
+    row_spec = pl.BlockSpec((1, BT, MB), lambda b, s, m: (s, b, m),
                             memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((BT, RB, 1), lambda b, s, m: (b, s, m),
+    col_spec = pl.BlockSpec((1, BT, RB), lambda b, s, m: (m, b, s),
                             memory_space=pltpu.VMEM)
-    cc_spec = pl.BlockSpec((BT, 1, 1), lambda b, s, m: (b, s, m),
+    cc_spec = pl.BlockSpec((1, 1, BT, 1), lambda b, s, m: (s, m, b, 0),
                            memory_space=pltpu.VMEM)
 
     kern = functools.partial(_fwd_kernel, lo=lo, operator=operator,
@@ -238,16 +258,17 @@ def forward_fused(theta, A, ln, lm, *, mode="nw", operator="softmax"):
             jax.ShapeDtypeStruct((Bp, Np, Mp), dtype),
             jax.ShapeDtypeStruct((Bp, Np, Mp), dtype),
             jax.ShapeDtypeStruct((Bp, Np, Mp), dtype),
-            jax.ShapeDtypeStruct((Bp, NS, Mp), dtype),   # qx top rows
-            jax.ShapeDtypeStruct((Bp, NS, Mp), dtype),   # qm top rows
-            jax.ShapeDtypeStruct((Bp, Np, MS), dtype),   # qy left cols
-            jax.ShapeDtypeStruct((Bp, Np, MS), dtype),   # qm left cols
-            jax.ShapeDtypeStruct((Bp, NS, MS), dtype),   # qm corners
+            jax.ShapeDtypeStruct((NS, Bp, Mp), dtype),   # qx top rows
+            jax.ShapeDtypeStruct((NS, Bp, Mp), dtype),   # qm top rows
+            jax.ShapeDtypeStruct((MS, Bp, Np), dtype),   # qy left cols
+            jax.ShapeDtypeStruct((MS, Bp, Np), dtype),   # qm left cols
+            jax.ShapeDtypeStruct((NS, MS, Bp, 1), dtype),  # qm corners
         ],
         scratch_shapes=[
             pltpu.VMEM((BT, Mp), dtype),       # top rows (bottom of s-1)
             pltpu.VMEM((BT, RB), dtype),       # left col
             pltpu.VMEM((BT, 1), dtype),        # corner
+            pltpu.VMEM((BT, KL, 1), dtype),    # top row, sublane-major
             pltpu.VMEM((BT, KL, RB), dtype),   # th skewed
             pltpu.VMEM((BT, KL, RB), dtype),   # ad skewed
             pltpu.VMEM((BT, KL, RB), dtype),   # V skewed
@@ -256,7 +277,8 @@ def forward_fused(theta, A, ln, lm, *, mode="nw", operator="softmax"):
             pltpu.VMEM((BT, KL, RB), dtype),   # qy skewed
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(lnp, lmp, th, ad)
     vt, qx, qm, qy, qxr, qmr, qyc, qmc, qmcc = out
@@ -275,7 +297,7 @@ def forward_fused(theta, A, ln, lm, *, mode="nw", operator="softmax"):
 def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
                 qxr_ref, qmr_ref, qyc_ref, qmc_ref, qmcc_ref,
                 e_ref,
-                bot_scr, right_scr, corner_scr,
+                bot_scr, right_scr, corner_scr, botsk,
                 qxsk, qmsk, qysk, esk,
                 *, lo, MB, NS, MS):
     KL = RB + MB
@@ -286,7 +308,7 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
 
     ln = ln_ref[:]
     lm = lm_ref[:]
-    et = et_ref[:]
+    et_b = jnp.broadcast_to(et_ref[:], (BT, RB))
 
     # q blocks shifted: for cell (i, j) we need q at (i+1, j), (i+1, j+1),
     # (i, j+1) in DP coords == (i, j), (i, j+1)... in *theta* coords the
@@ -298,12 +320,16 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
     qm_blk = qm_ref[:]
     qy_blk = qy_ref[:]
     # rows i+1: shift up, halo = next slab's top row
-    qx_dn = jnp.concatenate([qx_blk[:, 1:, :], qxr_ref[:]], axis=1)
-    qm_dn = jnp.concatenate([qm_blk[:, 1:, :], qmr_ref[:]], axis=1)
+    qx_dn = jnp.concatenate([qx_blk[:, 1:, :], qxr_ref[0][:, None, :]],
+                            axis=1)
+    qm_dn = jnp.concatenate([qm_blk[:, 1:, :], qmr_ref[0][:, None, :]],
+                            axis=1)
     # cols j+1 on the row-shifted qm: need qm[i+1, j+1]
-    qm_col = jnp.concatenate([qmc_ref[:, 1:, :], qmcc_ref[:]], axis=1)
-    qm_dn_rt = jnp.concatenate([qm_dn[:, :, 1:], qm_col], axis=2)
-    qy_rt = jnp.concatenate([qy_blk[:, :, 1:], qyc_ref[:]], axis=2)
+    qm_col = jnp.concatenate([qmc_ref[0][:, 1:], qmcc_ref[0, 0]], axis=1)
+    qm_dn_rt = jnp.concatenate([qm_dn[:, :, 1:], qm_col[:, :, None]],
+                               axis=2)
+    qy_rt = jnp.concatenate([qy_blk[:, :, 1:], qyc_ref[0][:, :, None]],
+                            axis=2)
 
     qxsk[:] = _skew_block(qx_dn, KL)
     qmsk[:] = _skew_block(qm_dn_rt, KL)
@@ -315,9 +341,12 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
     bot_full = jnp.where(s < NS - 1, bot_scr[:, pl.ds(m * MB, MB)], zero)
     right_col = jnp.where(m < MS - 1, right_scr[:], zero)
     corner = jnp.where((s < NS - 1) & (m < MS - 1), corner_scr[:], zero)
+    corner_b = jnp.broadcast_to(corner, (BT, RB))
     # shl of right_col: right_col[i+1]
     shl_right = jnp.concatenate(
         [right_col[:, 1:], jnp.zeros((BT, 1), dtype)], axis=1)
+    botT = jnp.swapaxes(bot_full[:, None, :], 1, 2)       # (Bt, MB, 1)
+    botsk[:] = jnp.pad(botT, ((0, 0), (0, KL - MB), (0, 0)))
 
     def step(dd, carry):
         e1, e2 = carry          # E diags d+1, d+2 (local)
@@ -332,11 +361,13 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
         is_jlast = lane == d - (MB - 1)          # local j == MB-1
         dmrb = d - (RB - 1)
         dmrb_c = jnp.clip(dmrb, 0, MB - 1)
-        bot2 = jax.lax.dynamic_slice(
-            jnp.pad(bot_full, ((0, 0), (0, 2))), (0, dmrb_c), (BT, 2))
-        bot_d = jnp.where((dmrb >= 0) & (dmrb < MB), bot2[:, 0:1], zero)
-        bot_d1 = jnp.where((dmrb + 1 >= 0) & (dmrb + 1 < MB),
-                           bot2[:, 1:2], zero)
+        bot_d = jnp.broadcast_to(jnp.where(
+            (dmrb >= 0) & (dmrb < MB), botsk[:, dmrb_c, 0:1], zero),
+            (BT, RB))
+        dmrb1_c = jnp.clip(dmrb + 1, 0, MB - 1)
+        bot_d1 = jnp.broadcast_to(jnp.where(
+            (dmrb + 1 >= 0) & (dmrb + 1 < MB), botsk[:, dmrb1_c, 0:1],
+            zero), (BT, RB))
 
         e1l = jnp.concatenate(
             [e1[:, 1:], jnp.zeros((BT, 1), dtype)], axis=1)
@@ -345,7 +376,8 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
         eb_dn = jnp.where(is_lastlane, bot_d, e1l)        # E[i+1, j]
         eb_dg = jnp.where(is_lastlane, bot_d1, e2l)       # E[i+1, j+1]
         eb_dg = jnp.where(is_jlast, shl_right, eb_dg)
-        eb_dg = jnp.where(is_lastlane & (d == RB + MB - 2), corner, eb_dg)
+        eb_dg = jnp.where(is_lastlane & (d == RB + MB - 2), corner_b,
+                          eb_dg)
         eb_rt = jnp.where(is_jlast, right_col, e1)        # E[i, j+1]
 
         enew = qxv * eb_dn + qmv * eb_dg + qyv * eb_rt
@@ -355,11 +387,11 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
                  & (gi < ln) & (gj < lm))
         enew = jnp.where(valid, enew, zero)
         seed = (gi == ln - 1) & (gj == lm - 1)
-        enew = enew + jnp.where(seed & in_block, et, zero)
+        enew = enew + jnp.where(seed & in_block, et_b, zero)
         esk[:, d, :] = enew
         return enew, e1
 
-    zerov = jnp.zeros((BT, RB), dtype)
+    zerov = qx_blk[:, :, 0] * 0.0
     jax.lax.fori_loop(0, RB + MB - 1, step, (zerov, zerov))
 
     e_nat = _unskew_block(esk[:], MB)
@@ -393,17 +425,17 @@ def backward_fused(Et, res, ln, lm, *, mode="nw"):
     # halo specs read the *next* block row/col (clamped at the far edge;
     # the kernel masks the contribution so clamped garbage never matters)
     row_next = pl.BlockSpec(
-        (BT, 1, MB),
-        lambda b, s, m: (b, jnp.minimum(NS - s, NS - 1), MS - 1 - m),
+        (1, BT, MB),
+        lambda b, s, m: (jnp.minimum(NS - s, NS - 1), b, MS - 1 - m),
         memory_space=pltpu.VMEM)
     col_next = pl.BlockSpec(
-        (BT, RB, 1),
-        lambda b, s, m: (b, NS - 1 - s, jnp.minimum(MS - m, MS - 1)),
+        (1, BT, RB),
+        lambda b, s, m: (jnp.minimum(MS - m, MS - 1), b, NS - 1 - s),
         memory_space=pltpu.VMEM)
     cc_next = pl.BlockSpec(
-        (BT, 1, 1),
-        lambda b, s, m: (b, jnp.minimum(NS - s, NS - 1),
-                         jnp.minimum(MS - m, MS - 1)),
+        (1, 1, BT, 1),
+        lambda b, s, m: (jnp.minimum(NS - s, NS - 1),
+                         jnp.minimum(MS - m, MS - 1), b, 0),
         memory_space=pltpu.VMEM)
 
     kern = functools.partial(_bwd_kernel, lo=lo, MB=MB, NS=NS, MS=MS)
@@ -419,13 +451,15 @@ def backward_fused(Et, res, ln, lm, *, mode="nw"):
             pltpu.VMEM((BT, Mp), dtype),       # bottom rows (top of s+1)
             pltpu.VMEM((BT, RB), dtype),       # right col
             pltpu.VMEM((BT, 1), dtype),        # corner
+            pltpu.VMEM((BT, KL, 1), dtype),    # bottom row, sublane-major
             pltpu.VMEM((BT, KL, RB), dtype),
             pltpu.VMEM((BT, KL, RB), dtype),
             pltpu.VMEM((BT, KL, RB), dtype),
             pltpu.VMEM((BT, KL, RB), dtype),   # E skewed
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(lnp, lmp, etp, res["qx"], res["qm"], res["qy"],
       res["qx_rows"], res["qm_rows"], res["qy_cols"], res["qm_cols"],
