@@ -41,10 +41,19 @@ def test_forward_backward_parity(mode):
                  N, M, offset=1)[:B]
     np.testing.assert_allclose(E_p, E_s, rtol=2e-6, atol=2e-6)
 
+    # q is an opaque residual: the pallas backend leaves it unmasked
+    # outside the valid region, so compare valid cells only
+    lnn = np.asarray(ln)
+    lmn = np.asarray(lm)
+    lo = dp_scan.MODE_BOUNDS[mode][0] - 1
     for a, b in zip(qs_p, qs_s):
-        np.testing.assert_allclose(
-            unskew(a, N, M, offset=1)[:B], unskew(b, N, M, offset=1),
-            rtol=2e-6, atol=2e-6)
+        ua = np.asarray(unskew(a, N, M, offset=1))[:B]
+        ub = np.asarray(unskew(b, N, M, offset=1))
+        for bi in range(B):
+            np.testing.assert_allclose(
+                ua[bi, lo:lnn[bi], lo:lmn[bi]],
+                ub[bi, lo:lnn[bi], lo:lmn[bi]],
+                rtol=2e-6, atol=2e-6)
 
 
 @pytest.mark.parametrize("mode", MODES)
@@ -73,9 +82,14 @@ def test_adjoint_parity(mode):
         Ediag_p, qs_p, qds_p, ln, lm, mode=mode), N, M, offset=1)[:B]
 
     np.testing.assert_allclose(vtd_p, vtd_s, rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(
-        unskew(qds_p[0], N, M, offset=1)[:B],
-        unskew(qds_s[0], N, M, offset=1), rtol=2e-5, atol=2e-5)
+    qd_p = np.asarray(unskew(qds_p[0], N, M, offset=1))[:B]
+    qd_s = np.asarray(unskew(qds_s[0], N, M, offset=1))
+    lo = dp_scan.MODE_BOUNDS[mode][2] - 1
+    for bi in range(B):
+        n, mm = int(ln[bi]), int(lm[bi])
+        np.testing.assert_allclose(qd_p[bi, lo:n, lo:mm],
+                                   qd_s[bi, lo:n, lo:mm],
+                                   rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(Ed_p, Ed_s, rtol=2e-5, atol=2e-5)
 
 
