@@ -268,18 +268,31 @@ class DeepBLAST:
 
     def _batches(self, dataset, shuffle, seed):
         return make_batches(dataset, self.config.batch_size, shuffle=shuffle,
-                            seed=seed, pad_multiple=self.config.pad_multiple)
+                            seed=seed, pad_multiple=self.config.pad_multiple,
+                            drop_last=self.mesh is not None)
 
-    @staticmethod
-    def _device_batch(batch):
-        return {k: jnp.asarray(v) for k, v in batch.items()
-                if not isinstance(v, list)}
+    def _device_batch(self, batch):
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if not isinstance(v, list)}
+        if self.mesh is not None:
+            arrays = mesh_lib.shard_batch(arrays, self.mesh)
+        return arrays
 
     # -- the fit loop ------------------------------------------------------
 
     def fit(self, train_dataset=None, valid_dataset=None, callbacks=(),
-            logger=None, checkpointer=None):
+            logger=None, checkpointer=None, mesh=None):
+        """Train.  With ``mesh`` (or more than one device and
+        ``mesh="auto"``), the batch is sharded over the ``data`` axis and
+        parameters are replicated — XLA inserts the gradient all-reduce
+        (the reference's DDP, scripts/deepblast-train:78)."""
         c = self.config
+        if mesh == "auto":
+            mesh = mesh_lib.make_mesh(tp=c.tp) if len(jax.devices()) > 1 \
+                else None
+        self.mesh = mesh
+        if mesh is not None and c.batch_size % mesh.shape["data"] != 0:
+            raise ValueError("batch_size must divide the data mesh axis")
         train_dataset = train_dataset or self._dataset(c.train_pairs)
         valid_dataset = valid_dataset or (
             self._dataset(c.valid_pairs) if c.valid_pairs else None)
@@ -287,6 +300,9 @@ class DeepBLAST:
         self.tx = self._build_optimizer()
 
         state = self.init()
+        if mesh is not None:
+            repl = mesh_lib.replicated_sharding(mesh)
+            state = jax.device_put(state, repl)
         train_step = self.make_train_step()
         val_step = self.make_val_step()
         rng = jax.random.key(c.seed + 1)
