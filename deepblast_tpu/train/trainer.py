@@ -321,10 +321,29 @@ class DeepBLAST:
             entry = {"epoch": epoch, "train_loss": float(np.mean(losses))}
             if valid_dataset is not None:
                 vlosses = []
-                for batch in self._batches(valid_dataset, False, 0):
-                    vloss, *_ = val_step(state, self._device_batch(batch))
+                vstats = []
+                for bi, batch in enumerate(
+                        self._batches(valid_dataset, False, 0)):
+                    vloss, aln, theta, gap = val_step(
+                        state, self._device_batch(batch))
                     vlosses.append(float(vloss))
+                    # alignment accuracy stats + visualizations on a
+                    # fraction of batches (reference:
+                    # deepblast/trainer.py:249-262)
+                    if (logger and bi == 0
+                            and c.visualization_fraction > 0):
+                        vstats += self.validation_stats(state, batch, aln)
+                        self._log_visualizations(
+                            logger, batch, aln, theta, gap, int(state.step))
                 entry["validation_loss"] = float(np.mean(vlosses))
+                if vstats:
+                    cols = ["val_tp", "val_fp", "val_fn", "val_perc_id",
+                            "val_ppv", "val_fnr", "val_fdr"]
+                    means = np.mean(np.asarray(vstats, float), axis=0)
+                    for col, v in zip(cols, means):
+                        entry[col] = float(v)
+                        if logger:
+                            logger.log_scalar(col, v, int(state.step))
                 if logger:
                     logger.log_scalar("validation_loss",
                                       entry["validation_loss"], int(state.step))
@@ -340,6 +359,41 @@ class DeepBLAST:
         return state, history
 
     # -- evaluation --------------------------------------------------------
+
+    def _log_visualizations(self, logger, batch, aln, theta, gap, step,
+                            max_pairs=2):
+        """Alignment matrix figures + text renders (reference:
+        deepblast/trainer.py:210-231)."""
+        import random as _random
+
+        from deepblast_tpu.eval.score import (
+            alignment_text, alignment_visualization)
+        aln_np = np.asarray(aln)
+        for b in range(min(max_pairs, len(batch["x_len"]))):
+            if _random.random() > self.config.visualization_fraction:
+                continue
+            n, mm = int(batch["x_len"][b]), int(batch["y_len"][b])
+            try:
+                fig, _ = alignment_visualization(
+                    np.asarray(batch["aln"][b]), aln_np[b],
+                    np.asarray(theta[b]), np.asarray(gap[b]), n, mm)
+                logger.log_figure(f"alignment-matrix/{b}", fig, step)
+                pred_states = [s for _, _, s in
+                               dp_ops.traceback(aln_np[b, :n, :mm])]
+                x_str = self.tokenizer.decode(batch["x"][b][:n])
+                y_str = self.tokenizer.decode(batch["y"][b][:mm])
+                true_states = np.asarray(batch["states"][b])
+                from deepblast_tpu.data.state_utils import states2edges
+                from deepblast_tpu.eval.score import filter_gaps, roc_edges
+                stats = roc_edges(
+                    filter_gaps(true_states, states2edges(true_states)),
+                    filter_gaps(pred_states, states2edges(pred_states)))
+                text = alignment_text(
+                    x_str, y_str, np.asarray(pred_states), true_states,
+                    list(stats))
+                logger.log_text(f"alignment/{b}", text, step)
+            except Exception:   # visualization must never kill training
+                continue
 
     def validation_stats(self, state, batch, aln):
         """Per-pair traceback accuracy stats
