@@ -299,7 +299,11 @@ class DeepBLAST:
         self._spe = max(1, len(train_dataset) // max(1, c.batch_size))
         self.tx = self._build_optimizer()
 
-        state = self.init()
+        # resume from a restored checkpoint when present
+        # (reference: --load-from-checkpoint, scripts/deepblast-train:21-24)
+        state = getattr(self, "state", None)
+        if state is None:
+            state = self.init()
         if mesh is not None:
             repl = mesh_lib.replicated_sharding(mesh)
             state = jax.device_put(state, repl)
