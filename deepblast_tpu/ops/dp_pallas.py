@@ -57,6 +57,12 @@ LANE = 128
 # valid region only.
 MASK_Q = False
 
+# Storage dtype for the soft-argmax (Q) streams.  They are probabilities in
+# [0, 1] consumed multiplicatively, so bfloat16 halves the dominant HBM
+# traffic at ~3 decimal digits of precision; compute stays fp32.  Opt-in:
+# set to jnp.bfloat16 (e.g. for inference/benchmarks); tests pin fp32.
+Q_DTYPE = None  # None = same as input dtype
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -166,9 +172,10 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
         qx = jnp.where(valid, qx, zero)
         qm = jnp.where(valid, qm, zero)
         qy = jnp.where(valid, qy, zero)
-    qx_ref[0] = qx
-    qm_ref[0] = qm
-    qy_ref[0] = qy
+    qdt = qx_ref.dtype
+    qx_ref[0] = qx.astype(qdt)
+    qm_ref[0] = qm.astype(qdt)
+    qy_ref[0] = qy.astype(qdt)
     vt_ref[:] += jnp.sum(jnp.where(term, vnew, zero), axis=1, keepdims=True)
     v2[:] = v1v
     v1[:] = vnew
@@ -186,6 +193,7 @@ def forward_pallas(thetad, Ad, ln, lm, *, mode="nw", operator="softmax"):
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][0]
 
+    qdt = Q_DTYPE or dtype
     kern = functools.partial(_fwd_kernel, lo=lo, operator=operator)
     vt, qx, qm, qy = pl.pallas_call(
         kern,
@@ -203,9 +211,9 @@ def forward_pallas(thetad, Ad, ln, lm, *, mode="nw", operator="softmax"):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 1), dtype),
-            jax.ShapeDtypeStruct((K, Bp, L), dtype),
-            jax.ShapeDtypeStruct((K, Bp, L), dtype),
-            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K, Bp, L), qdt),
+            jax.ShapeDtypeStruct((K, Bp, L), qdt),
+            jax.ShapeDtypeStruct((K, Bp, L), qdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((btile, L), dtype),
@@ -238,9 +246,11 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx1_ref, qm2_ref, qy1_ref,
     lm = lm_ref[:]
     e1v = e1[:]
     e2v = e2[:]
+    dt = e1v.dtype
     # clamped off-end reads are harmless: they always multiply a zero carry
-    enew = (_shl(qx1_ref[0] * e1v) + _shl(qm2_ref[0] * e2v)
-            + qy1_ref[0] * e1v)
+    enew = (_shl(qx1_ref[0].astype(dt) * e1v)
+            + _shl(qm2_ref[0].astype(dt) * e2v)
+            + qy1_ref[0].astype(dt) * e1v)
     valid, term = _masks(iarr, d, ln, lm, lo)
     zero = jnp.zeros((), enew.dtype)
     enew = jnp.where(valid, enew, zero)
@@ -253,7 +263,7 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx1_ref, qm2_ref, qy1_ref,
 def backward_pallas(Et, qs, ln, lm, *, mode="nw"):
     qx, qm, qy = qs
     K, Bp, L = qx.shape
-    dtype = qx.dtype
+    dtype = Et.dtype
     btile = _btile_for(Bp)
     B = Et.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
@@ -310,9 +320,10 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, qx_ref, qm_ref, qy_ref,
     lm = lm_ref[:]
     ztsh = zt_ref[0]
     zash = za_ref[0]
-    qx = qx_ref[0]
-    qm = qm_ref[0]
-    qy = qy_ref[0]
+    dt = ztsh.dtype
+    qx = qx_ref[0].astype(dt)
+    qm = qm_ref[0].astype(dt)
+    qy = qy_ref[0].astype(dt)
     vd1v = vd1[:]
     xargd = zash + _shr(vd1v)
     margd = _shr(vd2[:])
@@ -339,7 +350,7 @@ def adjoint_forward_pallas(qs, Ztd, ZAd, ln, lm, *, mode="nw",
                            operator="softmax"):
     qx, qm, qy = qs
     K, Bp, L = qx.shape
-    dtype = qx.dtype
+    dtype = Ztd.dtype
     btile = _btile_for(Bp)
     _, B, N = Ztd.shape
     zt = _pad_skew(Ztd, Bp, L, 1)
@@ -411,9 +422,13 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
     e2v = e2[:]
     # every product pairs a (possibly clamped) stream read with a carried
     # value that is exactly zero off the end, so no garbage can leak in
-    ednew = (_shl(qdx1_ref[0] * e1v + qx1_ref[0] * ed1v)
-             + _shl(qdm2_ref[0] * e2v + qm2_ref[0] * ed2v)
-             + qdy1_ref[0] * e1v + qy1_ref[0] * ed1v)
+    dt = e1v.dtype
+    ednew = (_shl(qdx1_ref[0].astype(dt) * e1v
+                  + qx1_ref[0].astype(dt) * ed1v)
+             + _shl(qdm2_ref[0].astype(dt) * e2v
+                    + qm2_ref[0].astype(dt) * ed2v)
+             + qdy1_ref[0].astype(dt) * e1v
+             + qy1_ref[0].astype(dt) * ed1v)
     valid, _ = _masks(iarr, d, ln, lm, lo)
     ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
     ed_ref[0] = ednew
@@ -427,7 +442,7 @@ def adjoint_backward_pallas(Ediag, qs, qds, ln, lm, *, mode="nw"):
     qx, qm, qy = qs
     qdx, qdm, qdy = qds
     K, Bp, L = qx.shape
-    dtype = qx.dtype
+    dtype = Ediag.dtype
     btile = _btile_for(Bp)
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
