@@ -61,8 +61,19 @@ __all__ = [
 # deepblast_tpu.ops.dp_pallas) is the hand-written TPU wavefront kernel.
 # ---------------------------------------------------------------------------
 
+def _xla_unskew(s, N, M, B, mul=None):
+    if mul:
+        q = mul[0].astype(s.dtype)
+        for m in mul[1:]:
+            q = q + m.astype(s.dtype)
+        s = s * q
+    return unskew(s, N, M, offset=1)[:B]
+
+
 _BACKENDS = {
     "scan": {
+        "skew": skew,
+        "unskew": _xla_unskew,
         "forward": dp_scan.forward_scan,
         "backward": dp_scan.backward_scan,
         "adjoint_forward": dp_scan.adjoint_forward_scan,
@@ -100,8 +111,8 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
     be = _BACKENDS[backend]
 
     def _run_forward(theta, A, ln, lm):
-        thetad = skew(theta)
-        Ad = skew(A)
+        thetad = be["skew"](theta)
+        Ad = be["skew"](A)
         return be["forward"](thetad, Ad, ln, lm, mode=mode, operator=operator)
 
     # -- level 2: the expected-alignment (gradient) map --------------------
@@ -119,9 +130,9 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
         _, qs = _run_forward(theta, A, ln, lm)
         Ediag = be["backward"](Et, qs, ln, lm, mode=mode)
         # backends may return batch/lane-padded diagonal buffers
-        E_theta = unskew(Ediag, N, M, offset=1)[:B]
+        E_theta = be["unskew"](Ediag, N, M, B)
         if with_gap:
-            E_A = unskew(Ediag * (qs[0] + qs[2]), N, M, offset=1)[:B]
+            E_A = be["unskew"](Ediag, N, M, B, mul=(qs[0], qs[2]))
             out = (E_theta, E_A)
         else:
             out = E_theta
@@ -136,15 +147,15 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
         B, N, M = Zt.shape
         ln = lnf.astype(jnp.int32)
         lm = lmf.astype(jnp.int32)
-        Ztd = skew(Zt)
-        ZAd = skew(Za) if Za is not None else jnp.zeros_like(Ztd)
+        Ztd = be["skew"](Zt)
+        ZAd = be["skew"](Za) if Za is not None else jnp.zeros_like(Ztd)
         # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
         vtd, qds = be["adjoint_forward"](
             qs, Ztd, ZAd, ln, lm, mode=mode, operator=operator)
         Eddiag = be["adjoint_backward"](Ediag, qs, qds, ln, lm, mode=mode)
-        g_theta = unskew(Eddiag, N, M, offset=1)[:B]
-        g_A = unskew(Eddiag * (qs[0] + qs[2]) + Ediag * (qds[0] + qds[2]),
-                     N, M, offset=1)[:B]
+        g_theta = be["unskew"](Eddiag, N, M, B)
+        g_A = be["unskew"](
+            Eddiag * (qs[0] + qs[2]) + Ediag * (qds[0] + qds[2]), N, M, B)
         # E is linear in Et, so d<cts, E>/dEt = <cts, E>/Et = vtd (the
         # adjoint-forward terminal tangent is Et-free).
         return (g_theta, g_A, vtd,

@@ -35,8 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepblast_tpu.ops import smooth
 from deepblast_tpu.ops.dp_scan import MODE_BOUNDS
+from deepblast_tpu.ops.skew_pallas import skew_pallas, unskew_pallas
 
 __all__ = [
+    "skew_input",
+    "unskew_output",
     "forward_pallas",
     "backward_pallas",
     "adjoint_forward_pallas",
@@ -137,6 +140,21 @@ def _btile_for(B):
     return 8
 
 
+def skew_input(x):
+    """Relayout a natural ``(B, N, M)`` potential into the padded
+    diagonal-major stream ``(K, Bp, L)`` this backend's passes consume
+    (shear kernel; replaces the XLA skew + pad)."""
+    B, N, M = x.shape
+    Bp = _round_up(B, _btile_for(B))
+    L = _round_up(N + 1, LANE)
+    return skew_pallas(x, Bp, L)
+
+
+def unskew_output(s, N, M, B, mul=None):
+    """Inverse relayout of a diagonal stream back to ``(B, N, M)``."""
+    return unskew_pallas(s, N, M, B, mul=mul)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -181,14 +199,12 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     v1[:] = vnew
 
 
-def forward_pallas(thetad, Ad, ln, lm, *, mode="nw", operator="softmax"):
-    K, B, N = thetad.shape
-    dtype = thetad.dtype
-    btile = _btile_for(B)
-    L = _round_up(N + 1, LANE)
-    Bp = _round_up(B, btile)
-    th = _pad_skew(thetad, Bp, L, 1)
-    ad = _pad_skew(Ad, Bp, L, 1)
+def forward_pallas(th, ad, ln, lm, *, mode="nw", operator="softmax"):
+    """``th``/``ad`` are padded diagonal streams from :func:`skew_input`."""
+    K, Bp, L = th.shape
+    dtype = th.dtype
+    btile = _btile_for(Bp)
+    B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][0]
@@ -346,15 +362,14 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, qx_ref, qm_ref, qy_ref,
     vd1[:] = vdnew
 
 
-def adjoint_forward_pallas(qs, Ztd, ZAd, ln, lm, *, mode="nw",
+def adjoint_forward_pallas(qs, zt, za, ln, lm, *, mode="nw",
                            operator="softmax"):
+    """``zt``/``za`` are padded diagonal streams from :func:`skew_input`."""
     qx, qm, qy = qs
     K, Bp, L = qx.shape
-    dtype = Ztd.dtype
+    dtype = zt.dtype
     btile = _btile_for(Bp)
-    _, B, N = Ztd.shape
-    zt = _pad_skew(Ztd, Bp, L, 1)
-    za = _pad_skew(ZAd, Bp, L, 1)
+    B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][2]
@@ -490,6 +505,8 @@ def register(make_default=None):
     if make_default is None:
         make_default = jax.default_backend() == "tpu"
     dp.register_backend("pallas", {
+        "skew": skew_input,
+        "unskew": unskew_output,
         "forward": forward_pallas,
         "backward": backward_pallas,
         "adjoint_forward": adjoint_forward_pallas,

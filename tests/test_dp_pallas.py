@@ -13,6 +13,30 @@ from deepblast_tpu.ops.skew import skew, unskew
 MODES = ["nw", "sw"]
 
 
+@pytest.mark.parametrize("B,N,M", [(4, 9, 7), (3, 16, 16), (5, 30, 13)])
+def test_shear_relayout_parity(B, N, M):
+    """skew_pallas/unskew_pallas shear kernels vs the XLA layout ops."""
+    from deepblast_tpu.ops.skew_pallas import skew_pallas, unskew_pallas
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    K = N + M - 1
+    Bp, L = B + 3, 128  # deliberately non-trivial batch padding
+    got = skew_pallas(x, Bp, L)
+    ref = jnp.pad(skew(x), ((0, 0), (0, Bp - B), (1, L - N - 1)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+    s = jnp.asarray(rng.standard_normal((K, Bp, L)), jnp.float32)
+    mul = (jnp.asarray(rng.standard_normal((K, Bp, L)), jnp.float32),
+           jnp.asarray(rng.standard_normal((K, Bp, L)), jnp.float32))
+    gotu = unskew_pallas(s, N, M, B)
+    refu = unskew(s, N, M, offset=1)[:B]
+    np.testing.assert_allclose(np.asarray(gotu), np.asarray(refu), atol=0)
+    gotm = unskew_pallas(s, N, M, B, mul=mul)
+    refm = unskew(s * (mul[0] + mul[1]), N, M, offset=1)[:B]
+    np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm),
+                               rtol=1e-6, atol=1e-6)
+
+
 def _problem(rng, B, N, M, dtype=jnp.float32):
     theta = jnp.asarray(rng.standard_normal((B, N, M)), dtype)
     A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, dtype)
@@ -29,10 +53,11 @@ def test_forward_backward_parity(mode):
     B, N, M = 4, 9, 7
     theta, A, ln, lm = _problem(rng, B, N, M)
     thetad, Ad = skew(theta), skew(A)
+    thetap, Ap = dp_pallas.skew_input(theta), dp_pallas.skew_input(A)
     Et = jnp.asarray(rng.standard_normal(B), jnp.float32)
 
     vt_s, qs_s = dp_scan.forward_scan(thetad, Ad, ln, lm, mode=mode)
-    vt_p, qs_p = dp_pallas.forward_pallas(thetad, Ad, ln, lm, mode=mode)
+    vt_p, qs_p = dp_pallas.forward_pallas(thetap, Ap, ln, lm, mode=mode)
     np.testing.assert_allclose(vt_p, vt_s, rtol=2e-6, atol=2e-6)
 
     E_s = unskew(dp_scan.backward_scan(Et, qs_s, ln, lm, mode=mode),
@@ -74,10 +99,12 @@ def test_adjoint_parity(mode):
     Ed_s = unskew(dp_scan.adjoint_backward_scan(
         Ediag_s, qs_s, qds_s, ln, lm, mode=mode), N, M, offset=1)
 
-    _, qs_p = dp_pallas.forward_pallas(thetad, Ad, ln, lm, mode=mode)
+    thetap, Ap = dp_pallas.skew_input(theta), dp_pallas.skew_input(A)
+    Ztp, ZAp = dp_pallas.skew_input(Zt), dp_pallas.skew_input(ZA)
+    _, qs_p = dp_pallas.forward_pallas(thetap, Ap, ln, lm, mode=mode)
     Ediag_p = dp_pallas.backward_pallas(Et, qs_p, ln, lm, mode=mode)
     vtd_p, qds_p = dp_pallas.adjoint_forward_pallas(
-        qs_p, Ztd, ZAd, ln, lm, mode=mode)
+        qs_p, Ztp, ZAp, ln, lm, mode=mode)
     Ed_p = unskew(dp_pallas.adjoint_backward_pallas(
         Ediag_p, qs_p, qds_p, ln, lm, mode=mode), N, M, offset=1)[:B]
 
