@@ -63,9 +63,10 @@ __all__ = [
 
 def _xla_unskew(s, N, M, B, mul=None):
     if mul:
-        q = mul[0].astype(s.dtype)
+        Kd = s.shape[0]  # mul streams may carry extra unroll-pad rows
+        q = mul[0][:Kd].astype(s.dtype)
         for m in mul[1:]:
-            q = q + m.astype(s.dtype)
+            q = q + m[:Kd].astype(s.dtype)
         s = s * q
     return unskew(s, N, M, offset=1)[:B]
 
@@ -128,7 +129,7 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
         ln = lnf.astype(jnp.int32)
         lm = lmf.astype(jnp.int32)
         _, qs = _run_forward(theta, A, ln, lm)
-        Ediag = be["backward"](Et, qs, ln, lm, mode=mode)
+        Ediag = be["backward"](Et, qs, ln, lm, mode=mode, nm=(N, M))
         # backends may return batch/lane-padded diagonal buffers
         E_theta = be["unskew"](Ediag, N, M, B)
         if with_gap:
@@ -151,11 +152,14 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
         ZAd = be["skew"](Za) if Za is not None else jnp.zeros_like(Ztd)
         # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
         vtd, qds = be["adjoint_forward"](
-            qs, Ztd, ZAd, ln, lm, mode=mode, operator=operator)
-        Eddiag = be["adjoint_backward"](Ediag, qs, qds, ln, lm, mode=mode)
+            qs, Ztd, ZAd, ln, lm, mode=mode, operator=operator, nm=(N, M))
+        Eddiag = be["adjoint_backward"](Ediag, qs, qds, ln, lm, mode=mode,
+                                        nm=(N, M))
         g_theta = be["unskew"](Eddiag, N, M, B)
+        Kd = Eddiag.shape[0]  # q/qd streams may carry unroll-pad rows
         g_A = be["unskew"](
-            Eddiag * (qs[0] + qs[2]) + Ediag * (qds[0] + qds[2]), N, M, B)
+            Eddiag * (qs[0][:Kd] + qs[2][:Kd])
+            + Ediag * (qds[0][:Kd] + qds[2][:Kd]), N, M, B)
         # E is linear in Et, so d<cts, E>/dEt = <cts, E>/Et = vtd (the
         # adjoint-forward terminal tangent is Et-free).
         return (g_theta, g_A, vtd,

@@ -52,6 +52,13 @@ __all__ = [
 BTILE = 8
 LANE = 128
 
+# Anti-diagonals computed per grid step in the forward/adjoint-forward
+# kernels.  The DP carry chain is inherently serial, so per-step grid and
+# DMA-issue overhead (~7 us/step measured) dominates the ~2.6 us of VPU
+# work per diagonal; unrolling T diagonals into one step amortises it.
+# Streams are row-padded to a multiple of T by skew_input.
+DIAG_UNROLL = 8
+
 # Zero out soft-argmax outputs outside the valid region.  Correctness does
 # not require it: every consumer multiplies Q against values that are
 # masked-zero off the valid region (the backward/adjoint E carries and the
@@ -125,6 +132,13 @@ def _diag_spec(btile, L, rowfn):
         memory_space=pltpu.VMEM)
 
 
+def _block_spec(T, btile, L, rowfn):
+    """T-row diagonal block: row-block index along the (padded) diag axis."""
+    return pl.BlockSpec(
+        (T, btile, L), lambda b, k: (_i32(rowfn(k)), _i32(b), _i32(0)),
+        memory_space=pltpu.VMEM)
+
+
 def _compiler_params():
     return pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
@@ -142,12 +156,14 @@ def _btile_for(B):
 
 def skew_input(x):
     """Relayout a natural ``(B, N, M)`` potential into the padded
-    diagonal-major stream ``(K, Bp, L)`` this backend's passes consume
-    (shear kernel; replaces the XLA skew + pad)."""
+    diagonal-major stream ``(K2, Bp, L)`` this backend's passes consume
+    (shear kernel; replaces the XLA skew + pad).  ``K2`` is ``N + M - 1``
+    rounded up to :data:`DIAG_UNROLL`; the pad rows are zero."""
     B, N, M = x.shape
     Bp = _round_up(B, _btile_for(B))
     L = _round_up(N + 1, LANE)
-    return skew_pallas(x, Bp, L)
+    K2 = _round_up(N + M - 1, DIAG_UNROLL)
+    return skew_pallas(x, Bp, L, rows=K2)
 
 
 def unskew_output(s, N, M, B, mul=None):
@@ -161,9 +177,8 @@ def unskew_output(s, N, M, B, mul=None):
 
 def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
                 vt_ref, qx_ref, qm_ref, qy_ref,
-                v1, v2, *, lo, operator):
+                v1, v2, *, lo, operator, T):
     k = pl.program_id(1)
-    d = k + 2
 
     @pl.when(k == 0)
     def _():
@@ -175,61 +190,68 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
     ln = ln_ref[:]
     lm = lm_ref[:]
-    tsh = th_ref[0]
-    ash = ad_ref[0]
     v1v = v1[:]
-    xarg = ash + _shr(v1v)
-    marg = _shr(v2[:])
-    yarg = ash + v1v
-    val, (qx, qm, qy) = smooth.max3(operator, xarg, marg, yarg)
-    vnew = tsh + val
-    valid, term = _masks(iarr, d, ln, lm, lo)
-    zero = jnp.zeros((), vnew.dtype)
-    vnew = jnp.where(valid, vnew, zero)
-    if MASK_Q:
-        qx = jnp.where(valid, qx, zero)
-        qm = jnp.where(valid, qm, zero)
-        qy = jnp.where(valid, qy, zero)
+    v2v = v2[:]
     qdt = qx_ref.dtype
-    qx_ref[0] = qx.astype(qdt)
-    qm_ref[0] = qm.astype(qdt)
-    qy_ref[0] = qy.astype(qdt)
-    vt_ref[:] += jnp.sum(jnp.where(term, vnew, zero), axis=1, keepdims=True)
-    v2[:] = v1v
-    v1[:] = vnew
+    acc = jnp.zeros((Bt, 1), vt_ref.dtype)
+    for t in range(T):
+        d = k * T + t + 2
+        ash = ad_ref[t]
+        xarg = ash + _shr(v1v)
+        marg = _shr(v2v)
+        yarg = ash + v1v
+        val, (qx, qm, qy) = smooth.max3(operator, xarg, marg, yarg)
+        vnew = th_ref[t] + val
+        valid, term = _masks(iarr, d, ln, lm, lo)
+        zero = jnp.zeros((), vnew.dtype)
+        vnew = jnp.where(valid, vnew, zero)
+        if MASK_Q:
+            qx = jnp.where(valid, qx, zero)
+            qm = jnp.where(valid, qm, zero)
+            qy = jnp.where(valid, qy, zero)
+        qx_ref[t] = qx.astype(qdt)
+        qm_ref[t] = qm.astype(qdt)
+        qy_ref[t] = qy.astype(qdt)
+        acc += jnp.sum(jnp.where(term, vnew, zero), axis=1, keepdims=True)
+        v2v = v1v
+        v1v = vnew
+    vt_ref[:] += acc
+    v2[:] = v2v
+    v1[:] = v1v
 
 
-def forward_pallas(th, ad, ln, lm, *, mode="nw", operator="softmax"):
+def forward_pallas(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
     """``th``/``ad`` are padded diagonal streams from :func:`skew_input`."""
-    K, Bp, L = th.shape
+    K2, Bp, L = th.shape
     dtype = th.dtype
-    btile = _btile_for(Bp)
+    T = DIAG_UNROLL if K2 % DIAG_UNROLL == 0 else 1
+    btile = min(_btile_for(Bp), 64) if T > 1 else _btile_for(Bp)
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][0]
 
     qdt = Q_DTYPE or dtype
-    kern = functools.partial(_fwd_kernel, lo=lo, operator=operator)
+    kern = functools.partial(_fwd_kernel, lo=lo, operator=operator, T=T)
     vt, qx, qm, qy = pl.pallas_call(
         kern,
-        grid=(Bp // btile, K),
+        grid=(Bp // btile, K2 // T),
         in_specs=[
             _len_spec(btile), _len_spec(btile),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
         ],
         out_specs=[
             _vt_spec(btile),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 1), dtype),
-            jax.ShapeDtypeStruct((K, Bp, L), qdt),
-            jax.ShapeDtypeStruct((K, Bp, L), qdt),
-            jax.ShapeDtypeStruct((K, Bp, L), qdt),
+            jax.ShapeDtypeStruct((K2, Bp, L), qdt),
+            jax.ShapeDtypeStruct((K2, Bp, L), qdt),
+            jax.ShapeDtypeStruct((K2, Bp, L), qdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((btile, L), dtype),
@@ -276,9 +298,10 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx1_ref, qm2_ref, qy1_ref,
     e1[:] = enew
 
 
-def backward_pallas(Et, qs, ln, lm, *, mode="nw"):
+def backward_pallas(Et, qs, ln, lm, *, mode="nw", nm=None):
     qx, qm, qy = qs
-    K, Bp, L = qx.shape
+    K2, Bp, L = qx.shape
+    K = (nm[0] + nm[1] - 1) if nm is not None else K2
     dtype = Et.dtype
     btile = _btile_for(Bp)
     B = Et.shape[0]
@@ -320,9 +343,8 @@ def backward_pallas(Et, qs, ln, lm, *, mode="nw"):
 
 def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, qx_ref, qm_ref, qy_ref,
                     vtd_ref, qdx_ref, qdm_ref, qdy_ref,
-                    vd1, vd2, *, lo, operator):
+                    vd1, vd2, *, lo, operator, T):
     k = pl.program_id(1)
-    d = k + 2
 
     @pl.when(k == 0)
     def _():
@@ -334,69 +356,76 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, qx_ref, qm_ref, qy_ref,
     iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
     ln = ln_ref[:]
     lm = lm_ref[:]
-    ztsh = zt_ref[0]
-    zash = za_ref[0]
-    dt = ztsh.dtype
-    qx = qx_ref[0].astype(dt)
-    qm = qm_ref[0].astype(dt)
-    qy = qy_ref[0].astype(dt)
     vd1v = vd1[:]
-    xargd = zash + _shr(vd1v)
-    margd = _shr(vd2[:])
-    yargd = zash + vd1v
-    vdnew = ztsh + qx * xargd + qm * margd + qy * yargd
-    qdx, qdm, qdy = smooth.hessian3(
-        operator, (qx, qm, qy), (xargd, margd, yargd))
-    valid, term = _masks(iarr, d, ln, lm, lo)
-    zero = jnp.zeros((), vdnew.dtype)
-    vdnew = jnp.where(valid, vdnew, zero)
-    if MASK_Q:
-        qdx = jnp.where(valid, qdx, zero)
-        qdm = jnp.where(valid, qdm, zero)
-        qdy = jnp.where(valid, qdy, zero)
-    qdx_ref[0] = qdx
-    qdm_ref[0] = qdm
-    qdy_ref[0] = qdy
-    vtd_ref[:] += jnp.sum(jnp.where(term, vdnew, zero), axis=1, keepdims=True)
-    vd2[:] = vd1v
-    vd1[:] = vdnew
+    vd2v = vd2[:]
+    acc = jnp.zeros((Bt, 1), vtd_ref.dtype)
+    for t in range(T):
+        d = k * T + t + 2
+        zash = za_ref[t]
+        dt = zash.dtype
+        qx = qx_ref[t].astype(dt)
+        qm = qm_ref[t].astype(dt)
+        qy = qy_ref[t].astype(dt)
+        xargd = zash + _shr(vd1v)
+        margd = _shr(vd2v)
+        yargd = zash + vd1v
+        vdnew = zt_ref[t] + qx * xargd + qm * margd + qy * yargd
+        qdx, qdm, qdy = smooth.hessian3(
+            operator, (qx, qm, qy), (xargd, margd, yargd))
+        valid, term = _masks(iarr, d, ln, lm, lo)
+        zero = jnp.zeros((), vdnew.dtype)
+        vdnew = jnp.where(valid, vdnew, zero)
+        if MASK_Q:
+            qdx = jnp.where(valid, qdx, zero)
+            qdm = jnp.where(valid, qdm, zero)
+            qdy = jnp.where(valid, qdy, zero)
+        qdx_ref[t] = qdx
+        qdm_ref[t] = qdm
+        qdy_ref[t] = qdy
+        acc += jnp.sum(jnp.where(term, vdnew, zero), axis=1, keepdims=True)
+        vd2v = vd1v
+        vd1v = vdnew
+    vtd_ref[:] += acc
+    vd2[:] = vd2v
+    vd1[:] = vd1v
 
 
 def adjoint_forward_pallas(qs, zt, za, ln, lm, *, mode="nw",
-                           operator="softmax"):
+                           operator="softmax", nm=None):
     """``zt``/``za`` are padded diagonal streams from :func:`skew_input`."""
     qx, qm, qy = qs
-    K, Bp, L = qx.shape
+    K2, Bp, L = qx.shape
     dtype = zt.dtype
-    btile = _btile_for(Bp)
+    T = DIAG_UNROLL if K2 % DIAG_UNROLL == 0 else 1
+    btile = min(_btile_for(Bp), 32) if T > 1 else _btile_for(Bp)
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][2]
 
-    kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator)
+    kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator, T=T)
     vtd, qdx, qdm, qdy = pl.pallas_call(
         kern,
-        grid=(Bp // btile, K),
+        grid=(Bp // btile, K2 // T),
         in_specs=[
             _len_spec(btile), _len_spec(btile),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
         ],
         out_specs=[
             _vt_spec(btile),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
-            _diag_spec(btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
+            _block_spec(T, btile, L, lambda k: k),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 1), dtype),
-            jax.ShapeDtypeStruct((K, Bp, L), dtype),
-            jax.ShapeDtypeStruct((K, Bp, L), dtype),
-            jax.ShapeDtypeStruct((K, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K2, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K2, Bp, L), dtype),
+            jax.ShapeDtypeStruct((K2, Bp, L), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((btile, L), dtype),
@@ -453,10 +482,11 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
     e1[:] = e_ref[0]
 
 
-def adjoint_backward_pallas(Ediag, qs, qds, ln, lm, *, mode="nw"):
+def adjoint_backward_pallas(Ediag, qs, qds, ln, lm, *, mode="nw", nm=None):
     qx, qm, qy = qs
     qdx, qdm, qdy = qds
-    K, Bp, L = qx.shape
+    K2, Bp, L = qx.shape
+    K = (nm[0] + nm[1] - 1) if nm is not None else K2
     dtype = Ediag.dtype
     btile = _btile_for(Bp)
     lnp = _pad_vec(ln, Bp, jnp.int32)

@@ -80,7 +80,8 @@ def _valid_mask(iarr, k, ln, lm, lo):
             & (iarr <= ln[:, None]) & (j <= lm[:, None]))
 
 
-def forward_scan(thetad, Ad, ln, lm, *, mode="nw", operator="softmax"):
+def forward_scan(thetad, Ad, ln, lm, *, mode="nw", operator="softmax",
+                 nm=None):  # nm accepted for backend-signature parity
     """Forward DP over anti-diagonals.
 
     Parameters
@@ -128,7 +129,7 @@ def forward_scan(thetad, Ad, ln, lm, *, mode="nw", operator="softmax"):
     return vt, qs
 
 
-def backward_scan(Et, qs, ln, lm, *, mode="nw"):
+def backward_scan(Et, qs, ln, lm, *, mode="nw", nm=None):
     """Reverse DP computing the expected-alignment diagonals.
 
     ``E[i, j] = Qx[i+1, j] E[i+1, j] + Qm[i+1, j+1] E[i+1, j+1]
@@ -168,7 +169,7 @@ def backward_scan(Et, qs, ln, lm, *, mode="nw"):
     return Ediag
 
 
-def adjoint_forward_scan(qs, Ztd, ZAd, ln, lm, *, mode="nw",
+def adjoint_forward_scan(qs, Ztd, ZAd, ln, lm, *, mode="nw", nm=None,
                          operator="softmax"):
     """JVP of the forward pass along skewed tangents ``(Ztd, ZAd)``.
 
@@ -212,7 +213,7 @@ def adjoint_forward_scan(qs, Ztd, ZAd, ln, lm, *, mode="nw",
     return vtd, qds
 
 
-def adjoint_backward_scan(Ediag, qs, qds, ln, lm, *, mode="nw"):
+def adjoint_backward_scan(Ediag, qs, qds, ln, lm, *, mode="nw", nm=None):
     """Tangent of the backward pass (reference: deepblast/nw.py:251-267).
 
     ``Ed[i, j]`` accumulates the six-term product rule of the backward

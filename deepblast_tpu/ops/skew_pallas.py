@@ -77,38 +77,40 @@ def _shear_up(x, nbits):
 # skew: (B, N, M) -> (K, Bp, L)
 # ---------------------------------------------------------------------------
 
-def _skew_kernel(x_ref, out_ref, *, N, M, L, K, B):
+def _skew_kernel(x_ref, out_ref, *, N, M, L, Kr, B):
     b = pl.program_id(0)
     x = x_ref[0]                                    # (N, M)
     t = jnp.swapaxes(x, 0, 1)                       # (M, N): t[j, i]
-    buf = jnp.pad(t, ((0, K - M), (0, L - N)))      # (K, L)
+    buf = jnp.pad(t, ((0, Kr - M), (0, L - N)))     # (Kr, L)
     w = _shear_down(buf, max(1, (N - 1).bit_length()))
     w = _roll(w, 1, 1)                              # slot s = i + 1
     out_ref[...] = jnp.where(b < B, w, jnp.zeros((), w.dtype))
 
 
-def skew_pallas(x, Bp, L=None):
-    """Diagonal-major relayout ``(B, N, M) -> (K, Bp, L)`` with slot shift 1.
+def skew_pallas(x, Bp, L=None, rows=None):
+    """Diagonal-major relayout ``(B, N, M) -> (rows, Bp, L)`` with slot
+    shift 1 (``rows >= K = N + M - 1``; extra rows are zero).
 
     Replaces ``_pad_skew(skew(x), Bp, L, 1)`` (both the XLA skew and the pad)
     with one shear kernel.  ``Bp >= B``; padded pairs are written as zeros.
     """
     B, N, M = x.shape
     K = N + M - 1
+    Kr = K if rows is None else rows
     if L is None:
         L = -(-(N + 1) // LANE) * LANE
-    kern = functools.partial(_skew_kernel, N=N, M=M, L=L, K=K, B=B)
+    kern = functools.partial(_skew_kernel, N=N, M=M, L=L, Kr=Kr, B=B)
     out = pl.pallas_call(
         kern,
         grid=(Bp,),
         in_specs=[pl.BlockSpec((1, N, M), lambda b: (jnp.minimum(b, B - 1), 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((K, L), lambda b: (0, b),
+        out_specs=pl.BlockSpec((Kr, L), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, Bp * L), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Kr, Bp * L), x.dtype),
         interpret=_interpret(),
     )(x)
-    return out.reshape(K, Bp, L)
+    return out.reshape(Kr, Bp, L)
 
 
 # ---------------------------------------------------------------------------
@@ -134,9 +136,9 @@ def unskew_pallas(s, N, M, B, mul=None):
     """
     K, Bp, L = s.shape
     if mul:
-        q = mul[0].astype(s.dtype)
+        q = mul[0][:K].astype(s.dtype)  # mul may carry unroll-pad rows
         for m in mul[1:]:
-            q = q + m.astype(s.dtype)
+            q = q + m[:K].astype(s.dtype)
         s = s * q
     kern = functools.partial(_unskew_kernel, N=N, M=M, L=L, K=K)
     out = pl.pallas_call(

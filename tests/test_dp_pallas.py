@@ -62,7 +62,8 @@ def test_forward_backward_parity(mode):
 
     E_s = unskew(dp_scan.backward_scan(Et, qs_s, ln, lm, mode=mode),
                  N, M, offset=1)
-    E_p = unskew(dp_pallas.backward_pallas(Et, qs_p, ln, lm, mode=mode),
+    E_p = unskew(dp_pallas.backward_pallas(Et, qs_p, ln, lm, mode=mode,
+                                           nm=(N, M)),
                  N, M, offset=1)[:B]
     np.testing.assert_allclose(E_p, E_s, rtol=2e-6, atol=2e-6)
 
@@ -102,11 +103,13 @@ def test_adjoint_parity(mode):
     thetap, Ap = dp_pallas.skew_input(theta), dp_pallas.skew_input(A)
     Ztp, ZAp = dp_pallas.skew_input(Zt), dp_pallas.skew_input(ZA)
     _, qs_p = dp_pallas.forward_pallas(thetap, Ap, ln, lm, mode=mode)
-    Ediag_p = dp_pallas.backward_pallas(Et, qs_p, ln, lm, mode=mode)
+    Ediag_p = dp_pallas.backward_pallas(Et, qs_p, ln, lm, mode=mode,
+                                        nm=(N, M))
     vtd_p, qds_p = dp_pallas.adjoint_forward_pallas(
-        qs_p, Ztp, ZAp, ln, lm, mode=mode)
+        qs_p, Ztp, ZAp, ln, lm, mode=mode, nm=(N, M))
     Ed_p = unskew(dp_pallas.adjoint_backward_pallas(
-        Ediag_p, qs_p, qds_p, ln, lm, mode=mode), N, M, offset=1)[:B]
+        Ediag_p, qs_p, qds_p, ln, lm, mode=mode, nm=(N, M)),
+        N, M, offset=1)[:B]
 
     np.testing.assert_allclose(vtd_p, vtd_s, rtol=2e-5, atol=2e-5)
     qd_p = np.asarray(unskew(qds_p[0], N, M, offset=1))[:B]
