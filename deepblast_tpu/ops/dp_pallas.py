@@ -267,69 +267,99 @@ def forward_pallas(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
 # backward (expected alignment)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(ln_ref, lm_ref, et_ref, qx1_ref, qm2_ref, qy1_ref,
-                e_ref, e1, e2, *, lo, K):
+def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
+                e_ref, e1, e2, sqx0, sqm0, sqm1, sqy0, *, lo, T, KB):
+    """Processes T diagonals (descending) per step.  Rows ``r+1``/``r+2``
+    that fall in the previously-processed (higher) block are carried in the
+    ``s*`` scratches (q rows 0 and 1 of that block); the initial zeros
+    reproduce the old clamped-read-times-zero-carry behaviour at the top."""
     kk = pl.program_id(1)
-    r = K - 1 - kk
-    d = r + 2
 
     @pl.when(kk == 0)
     def _():
         e1[:] = jnp.zeros_like(e1)
         e2[:] = jnp.zeros_like(e2)
+        sqx0[:] = jnp.zeros_like(sqx0)
+        sqm0[:] = jnp.zeros_like(sqm0)
+        sqm1[:] = jnp.zeros_like(sqm1)
+        sqy0[:] = jnp.zeros_like(sqy0)
 
     Bt, L = e1.shape
     iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
     ln = ln_ref[:]
     lm = lm_ref[:]
+    et = et_ref[:]
     e1v = e1[:]
     e2v = e2[:]
     dt = e1v.dtype
-    # clamped off-end reads are harmless: they always multiply a zero carry
-    enew = (_shl(qx1_ref[0].astype(dt) * e1v)
-            + _shl(qm2_ref[0].astype(dt) * e2v)
-            + qy1_ref[0].astype(dt) * e1v)
-    valid, term = _masks(iarr, d, ln, lm, lo)
-    zero = jnp.zeros((), enew.dtype)
-    enew = jnp.where(valid, enew, zero)
-    enew = enew + jnp.where(term, et_ref[:], zero)
-    e_ref[0] = enew
-    e2[:] = e1v
-    e1[:] = enew
+    rqm0 = sqm0[:]
+    pqx0 = sqx0[:].astype(dt)
+    pqm0 = rqm0.astype(dt)
+    pqm1 = sqm1[:].astype(dt)
+    pqy0 = sqy0[:].astype(dt)
+    r0 = (KB - 1 - kk) * T
+    for lt in reversed(range(T)):
+        d = r0 + lt + 2
+        qx1 = pqx0 if lt == T - 1 else qx_ref[lt + 1].astype(dt)
+        qy1 = pqy0 if lt == T - 1 else qy_ref[lt + 1].astype(dt)
+        if lt == T - 1:
+            qm2 = pqm1
+        elif lt == T - 2:
+            qm2 = pqm0
+        else:
+            qm2 = qm_ref[lt + 2].astype(dt)
+        enew = _shl(qx1 * e1v) + _shl(qm2 * e2v) + qy1 * e1v
+        valid, term = _masks(iarr, d, ln, lm, lo)
+        zero = jnp.zeros((), enew.dtype)
+        enew = jnp.where(valid, enew, zero)
+        enew = enew + jnp.where(term, et, zero)
+        e_ref[lt] = enew
+        e2v = e1v
+        e1v = enew
+    e1[:] = e1v
+    e2[:] = e2v
+    sqx0[:] = qx_ref[0]
+    # with T == 1 the r+2 row lives two blocks back: shift the chain
+    sqm1[:] = qm_ref[1] if T > 1 else rqm0
+    sqm0[:] = qm_ref[0]
+    sqy0[:] = qy_ref[0]
 
 
 def backward_pallas(Et, qs, ln, lm, *, mode="nw", nm=None):
     qx, qm, qy = qs
     K2, Bp, L = qx.shape
-    K = (nm[0] + nm[1] - 1) if nm is not None else K2
     dtype = Et.dtype
-    btile = _btile_for(Bp)
+    T = DIAG_UNROLL if K2 % DIAG_UNROLL == 0 else 1
+    btile = min(_btile_for(Bp), 64) if T > 1 else _btile_for(Bp)
+    qdt = qx.dtype
     B = Et.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     etp = _pad_vec(Et, Bp, dtype)
     lo = MODE_BOUNDS[mode][1]
+    KB = K2 // T
 
-    def row(off):
-        return lambda k: jnp.minimum(K - 1, K - 1 - k + off)
-
-    kern = functools.partial(_bwd_kernel, lo=lo, K=K)
+    kern = functools.partial(_bwd_kernel, lo=lo, T=T, KB=KB)
     (Ediag,) = pl.pallas_call(
         kern,
-        grid=(Bp // btile, K),
+        grid=(Bp // btile, KB),
         in_specs=[
             _len_spec(btile), _len_spec(btile), _len_spec(btile),
-            _diag_spec(btile, L, row(1)),   # qx @ d+1
-            _diag_spec(btile, L, row(2)),   # qm @ d+2
-            _diag_spec(btile, L, row(1)),   # qy @ d+1
+            _block_spec(T, btile, L, lambda k: KB - 1 - k),
+            _block_spec(T, btile, L, lambda k: KB - 1 - k),
+            _block_spec(T, btile, L, lambda k: KB - 1 - k),
         ],
         out_specs=[
-            _diag_spec(btile, L, lambda k: K - 1 - k),
+            _block_spec(T, btile, L, lambda k: KB - 1 - k),
         ],
-        out_shape=[jax.ShapeDtypeStruct((K, Bp, L), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((K2, Bp, L), dtype)],
         scratch_shapes=[
             pltpu.VMEM((btile, L), dtype),
             pltpu.VMEM((btile, L), dtype),
+            pltpu.VMEM((btile, L), qdt),
+            pltpu.VMEM((btile, L), qdt),
+            pltpu.VMEM((btile, L), qdt),
+            pltpu.VMEM((btile, L), qdt),
         ],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
@@ -442,19 +472,18 @@ def adjoint_forward_pallas(qs, zt, za, ln, lm, *, mode="nw",
 # ---------------------------------------------------------------------------
 
 def _adj_bwd_kernel(ln_ref, lm_ref,
-                    qx1_ref, qm2_ref, qy1_ref,
-                    qdx1_ref, qdm2_ref, qdy1_ref, e_ref,
-                    ed_ref, ed1, ed2, e1, e2, *, lo, K):
+                    qx_ref, qm_ref, qy_ref,
+                    qdx_ref, qdm_ref, qdy_ref, e_ref,
+                    ed_ref, ed1, ed2, e1, e2,
+                    sqx0, sqm0, sqm1, sqy0, sdx0, sdm0, sdm1, sdy0,
+                    *, lo, T, KB):
     kk = pl.program_id(1)
-    r = K - 1 - kk
-    d = r + 2
 
     @pl.when(kk == 0)
     def _():
-        ed1[:] = jnp.zeros_like(ed1)
-        ed2[:] = jnp.zeros_like(ed2)
-        e1[:] = jnp.zeros_like(e1)
-        e2[:] = jnp.zeros_like(e2)
+        for ref in (ed1, ed2, e1, e2,
+                    sqx0, sqm0, sqm1, sqy0, sdx0, sdm0, sdm1, sdy0):
+            ref[:] = jnp.zeros_like(ref)
 
     Bt, L = ed1.shape
     iarr = jax.lax.broadcasted_iota(jnp.int32, (Bt, L), 1)
@@ -464,62 +493,99 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
     ed2v = ed2[:]
     e1v = e1[:]
     e2v = e2[:]
-    # every product pairs a (possibly clamped) stream read with a carried
-    # value that is exactly zero off the end, so no garbage can leak in
     dt = e1v.dtype
-    ednew = (_shl(qdx1_ref[0].astype(dt) * e1v
-                  + qx1_ref[0].astype(dt) * ed1v)
-             + _shl(qdm2_ref[0].astype(dt) * e2v
-                    + qm2_ref[0].astype(dt) * ed2v)
-             + qdy1_ref[0].astype(dt) * e1v
-             + qy1_ref[0].astype(dt) * ed1v)
-    valid, _ = _masks(iarr, d, ln, lm, lo)
-    ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
-    ed_ref[0] = ednew
-    ed2[:] = ed1v
-    ed1[:] = ednew
-    e2[:] = e1v
-    e1[:] = e_ref[0]
+    rqm0 = sqm0[:]
+    rdm0 = sdm0[:]
+    pqx0 = sqx0[:].astype(dt)
+    pqm0 = rqm0.astype(dt)
+    pqm1 = sqm1[:].astype(dt)
+    pqy0 = sqy0[:].astype(dt)
+    pdx0 = sdx0[:].astype(dt)
+    pdm0 = rdm0.astype(dt)
+    pdm1 = sdm1[:].astype(dt)
+    pdy0 = sdy0[:].astype(dt)
+    r0 = (KB - 1 - kk) * T
+    # every product pairs a (possibly off-end) stream read with a carried
+    # value that is exactly zero off the end, so no garbage can leak in
+    for lt in reversed(range(T)):
+        d = r0 + lt + 2
+        last = lt == T - 1
+        qx1 = pqx0 if last else qx_ref[lt + 1].astype(dt)
+        qy1 = pqy0 if last else qy_ref[lt + 1].astype(dt)
+        qdx1 = pdx0 if last else qdx_ref[lt + 1].astype(dt)
+        qdy1 = pdy0 if last else qdy_ref[lt + 1].astype(dt)
+        if last:
+            qm2, qdm2 = pqm1, pdm1
+        elif lt == T - 2:
+            qm2, qdm2 = pqm0, pdm0
+        else:
+            qm2 = qm_ref[lt + 2].astype(dt)
+            qdm2 = qdm_ref[lt + 2].astype(dt)
+        ednew = (_shl(qdx1 * e1v + qx1 * ed1v)
+                 + _shl(qdm2 * e2v + qm2 * ed2v)
+                 + qdy1 * e1v + qy1 * ed1v)
+        valid, _ = _masks(iarr, d, ln, lm, lo)
+        ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
+        ed_ref[lt] = ednew
+        ed2v = ed1v
+        ed1v = ednew
+        e2v = e1v
+        e1v = e_ref[lt]
+    ed1[:] = ed1v
+    ed2[:] = ed2v
+    e1[:] = e1v
+    e2[:] = e2v
+    sqx0[:] = qx_ref[0]
+    sqm1[:] = qm_ref[1] if T > 1 else rqm0
+    sqm0[:] = qm_ref[0]
+    sqy0[:] = qy_ref[0]
+    sdx0[:] = qdx_ref[0]
+    sdm1[:] = qdm_ref[1] if T > 1 else rdm0
+    sdm0[:] = qdm_ref[0]
+    sdy0[:] = qdy_ref[0]
 
 
 def adjoint_backward_pallas(Ediag, qs, qds, ln, lm, *, mode="nw", nm=None):
     qx, qm, qy = qs
     qdx, qdm, qdy = qds
     K2, Bp, L = qx.shape
-    K = (nm[0] + nm[1] - 1) if nm is not None else K2
     dtype = Ediag.dtype
-    btile = _btile_for(Bp)
+    T = DIAG_UNROLL if K2 % DIAG_UNROLL == 0 and Ediag.shape[0] == K2 else 1
+    btile = min(_btile_for(Bp), 32) if T > 1 else _btile_for(Bp)
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][3]
+    qdt = qx.dtype
 
-    def row(off):
-        return lambda k: jnp.minimum(K - 1, K - 1 - k + off)
+    if T == 1 and Ediag.shape[0] != K2:
+        # legacy single-row path over true-K buffers (direct callers)
+        K = Ediag.shape[0]
+    else:
+        K = K2
+    KB = K // T
 
-    kern = functools.partial(_adj_bwd_kernel, lo=lo, K=K)
+    kern = functools.partial(_adj_bwd_kernel, lo=lo, T=T, KB=KB)
+    blk = functools.partial(_block_spec, T, btile, L)
     (Eddiag,) = pl.pallas_call(
         kern,
-        grid=(Bp // btile, K),
+        grid=(Bp // btile, KB),
         in_specs=[
             _len_spec(btile), _len_spec(btile),
-            _diag_spec(btile, L, row(1)),   # qx @ d+1
-            _diag_spec(btile, L, row(2)),   # qm @ d+2
-            _diag_spec(btile, L, row(1)),   # qy @ d+1
-            _diag_spec(btile, L, row(1)),   # qdx @ d+1
-            _diag_spec(btile, L, row(2)),   # qdm @ d+2
-            _diag_spec(btile, L, row(1)),   # qdy @ d+1
-            _diag_spec(btile, L, row(0)),   # E @ d (carried to d+1, d+2)
+            blk(lambda k: KB - 1 - k),
+            blk(lambda k: KB - 1 - k),
+            blk(lambda k: KB - 1 - k),
+            blk(lambda k: KB - 1 - k),
+            blk(lambda k: KB - 1 - k),
+            blk(lambda k: KB - 1 - k),
+            blk(lambda k: KB - 1 - k),   # E @ current rows
         ],
         out_specs=[
-            _diag_spec(btile, L, lambda k: K - 1 - k),
+            blk(lambda k: KB - 1 - k),
         ],
         out_shape=[jax.ShapeDtypeStruct((K, Bp, L), dtype)],
-        scratch_shapes=[
-            pltpu.VMEM((btile, L), dtype),
-            pltpu.VMEM((btile, L), dtype),
-            pltpu.VMEM((btile, L), dtype),
-            pltpu.VMEM((btile, L), dtype),
-        ],
+        scratch_shapes=[pltpu.VMEM((btile, L), dtype)] * 4
+        + [pltpu.VMEM((btile, L), qdt)] * 4
+        + [pltpu.VMEM((btile, L), dtype)] * 4,
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(lnp, lmp, qx, qm, qy, qdx, qdm, qdy, Ediag)
