@@ -63,13 +63,18 @@ def _shear_down(x, nbits):
     return x
 
 
-def _shear_up(x, nbits):
-    """out[p, s] = x[(p + s) % K, s] for lanes s < 2**nbits."""
+def _shear_up_m1(x, nbits):
+    """out[p, s] = x[(p + s - 1) % K, s] for lanes 1 <= s <= 2**nbits.
+
+    The ``-1`` slot offset is folded into the decomposition by keying the
+    bit masks on ``s - 1`` (lane 0 gets all bits via the -1 wraparound and
+    produces garbage, but slot 0 is never consumed), saving the tenth pass
+    and the follow-up roll of the plain ``p + s`` shear."""
     K = x.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    lanem1 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) - 1
     for t in range(nbits):
         amt = 1 << t
-        x = jnp.where((lane & amt) != 0, _roll(x, K - amt, 0), x)
+        x = jnp.where((lanem1 & amt) != 0, _roll(x, K - amt, 0), x)
     return x
 
 
@@ -119,8 +124,7 @@ def skew_pallas(x, Bp, L=None, rows=None):
 
 def _unskew_kernel(s_ref, out_ref, *, N, M, L, K):
     u = s_ref[...]                                  # (K, L)
-    w = _shear_up(u, max(1, N.bit_length()))        # w[p,s] = u[p+s]
-    w = _roll(w, 1, 0)                              # w[p,s] = u[p+s-1]
+    w = _shear_up_m1(u, max(1, (N - 1).bit_length()))   # w[p,s] = u[p+s-1]
     t = jnp.swapaxes(w, 0, 1)                       # (L, K): t[s,p]
     t = _roll(t, L - 1, 0)                          # t[q,p] = t0[q+1,p]
     out_ref[0] = t[:N, :M]

@@ -36,6 +36,13 @@ def test_shear_relayout_parity(B, N, M):
     np.testing.assert_allclose(np.asarray(gotm), np.asarray(refm),
                                rtol=1e-6, atol=1e-6)
 
+    # unroll-padded buffers (K2 > K rows): pad rows must never leak
+    K2 = K + 8 - K % 8 if K % 8 else K + 8
+    s2 = jnp.concatenate(
+        [s, jnp.full((K2 - K, Bp, 128), jnp.nan, jnp.float32)], axis=0)
+    gotp = unskew_pallas(s2, N, M, B)
+    np.testing.assert_allclose(np.asarray(gotp), np.asarray(refu), atol=0)
+
 
 def _problem(rng, B, N, M, dtype=jnp.float32):
     theta = jnp.asarray(rng.standard_normal((B, N, M)), dtype)
