@@ -39,7 +39,11 @@ def main(argv=None):
         prev = Checkpointer(args.load_from_checkpoint)
         model.state = prev.restore(template)
 
-    state, history = model.fit(logger=logger, checkpointer=ckpt)
+    # Engage the device mesh whenever more than one device is visible —
+    # the reference's --devices/--nodes DDP path
+    # (reference: scripts/deepblast-train:66-84); honours --tp.
+    state, history = model.fit(logger=logger, checkpointer=ckpt,
+                               mesh="auto")
     print(f"final: {history[-1]}")
     return 0
 

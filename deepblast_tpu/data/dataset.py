@@ -81,6 +81,12 @@ class TMAlignDataset:
     def __len__(self):
         return self.pairs.shape[0]
 
+    def lengths(self):
+        """Per-pair max sequence length, for length-bucketed batching."""
+        return np.array([
+            max(len(r["chain1"]), len(r["chain2"]))
+            for _, r in self.pairs.iterrows()], np.int64)
+
     def __getitem__(self, i):
         row = self.pairs.iloc[i]
         gene, pos, st = row["chain1"], row["chain2"], row["alignment"]
@@ -122,6 +128,13 @@ class MaliAlignmentDataset:
 
     def __len__(self):
         return self.pairs.shape[0]
+
+    def lengths(self):
+        """Per-pair max ungapped sequence length (batching sort key)."""
+        return np.array([
+            max(len(str(self.pairs.loc[i, 0]).replace("-", "")),
+                len(str(self.pairs.loc[i, 1]).replace("-", "")))
+            for i in range(len(self))], np.int64)
 
     def __getitem__(self, i):
         gene = self.pairs.loc[i, 0]
@@ -221,13 +234,8 @@ def make_batches(dataset, batch_size, shuffle=True, seed=0, pad_multiple=16,
     rng = np.random.default_rng(seed)
     if shuffle:
         rng.shuffle(idx)
-    if sort_by_length:
-        lens = np.array([
-            max(len(dataset.pairs.iloc[i]["chain1"]),
-                len(dataset.pairs.iloc[i]["chain2"]))
-            if hasattr(dataset, "pairs") and "chain1" in dataset.pairs
-            else 0
-            for i in idx])
+    if sort_by_length and hasattr(dataset, "lengths"):
+        lens = np.asarray(dataset.lengths())[idx]
         if lens.any():
             order = np.argsort(lens, kind="stable")
             idx = idx[order]

@@ -288,8 +288,19 @@ class DeepBLAST:
         (the reference's DDP, scripts/deepblast-train:78)."""
         c = self.config
         if mesh == "auto":
-            mesh = mesh_lib.make_mesh(tp=c.tp) if len(jax.devices()) > 1 \
-                else None
+            # Use every device the batch can be split over: the data axis is
+            # the largest divisor of batch_size that fits n_devices // tp
+            # (a subset mesh when batch_size is small keeps tiny-config runs
+            # working instead of erroring, mirroring DDP's behaviour of just
+            # using the devices you give it).
+            n = len(jax.devices()) // max(1, c.tp)
+            dp = max((k for k in range(1, n + 1)
+                      if c.batch_size % k == 0), default=1)
+            if dp * c.tp > 1:
+                mesh = mesh_lib.make_mesh(
+                    dp=dp, tp=c.tp, devices=jax.devices()[:dp * c.tp])
+            else:
+                mesh = None
         self.mesh = mesh
         if mesh is not None and c.batch_size % mesh.shape["data"] != 0:
             raise ValueError("batch_size must divide the data mesh axis")
@@ -331,12 +342,13 @@ class DeepBLAST:
                     vloss, aln, theta, gap = val_step(
                         state, self._device_batch(batch))
                     vlosses.append(float(vloss))
-                    # alignment accuracy stats + visualizations on a
-                    # fraction of batches (reference:
-                    # deepblast/trainer.py:249-262)
+                    # alignment accuracy stats over the FULL validation
+                    # epoch (reference aggregates tp/fp/fn/ppv across all
+                    # batches, deepblast/trainer.py:249-262); only the
+                    # figures are sampled by visualization_fraction.
+                    vstats += self.validation_stats(state, batch, aln)
                     if (logger and bi == 0
                             and c.visualization_fraction > 0):
-                        vstats += self.validation_stats(state, batch, aln)
                         self._log_visualizations(
                             logger, batch, aln, theta, gap, int(state.step))
                 entry["validation_loss"] = float(np.mean(vlosses))
