@@ -55,7 +55,7 @@ def main(argv=None):
                         default="headline")
     parser.add_argument("--mode", default="nw", choices=["nw", "sw"])
     parser.add_argument("--backend", default=None,
-                        choices=[None, "scan", "pallas"])
+                        choices=[None, "scan", "pallas", "pallas_bm"])
     parser.add_argument("--depth", default="fwd+bwd",
                         choices=["fwd", "fwd+bwd", "train"])
     parser.add_argument("--iters", type=int, default=10)

@@ -1,0 +1,223 @@
+"""Batch-minor (lane = batch) diagonal relayout kernels.
+
+Round-2 layout redesign (docs/PERF_NOTES.md "Next (ranked; round 2)" #1).
+The round-1 streams ``(K, Bp, L)`` put the DP slot on lanes, forcing
+``N+1 -> L`` lane padding (25% at N=512) and per-lane shears in the
+relayouts.  Here streams are ``(K2, S, Bp)`` — slot on *sublanes*
+(``S = Np + 8``, 1.5% padding), batch on lanes — so
+
+* the relayout shear becomes at most one cyclic ``pltpu.roll`` per slot
+  (amount ``s-1``, traced), instead of ``log2(N)`` masked roll passes over
+  the whole stream;
+* the DP kernels' slot shifts become cheap static sublane shifts;
+* stream traffic drops ~20% at the bench config.
+
+Layout contract (slot shift 1, matching :mod:`deepblast_tpu.ops.skew`
+transposed):
+
+    stream[d, s, b] = x[b, s-1, d+1-s]   for 1 <= s <= N, 0 <= d+1-s < M
+
+i.e. DP cell ``(i, j)`` (1-based) lives on diagonal row ``d = i+j-2`` at
+sublane ``s = i``, lane ``b``.  Slot 0 (the ``i = 0`` DP boundary) and all
+padding slots/rows may hold finite garbage: every consumer masks by the
+valid region (same argument as dp_pallas.MASK_Q).
+
+Kernel structure (skew): grid ``(Bp/128, S/8)`` with the slot axis inner
+and sequential.  Each step reads the aligned x row-chunk ``[8g, 8g+8)``
+for 128 pairs, transposes each row-plane ``(128, M) -> (M, 128)``, pads to
+``(K2, 128)`` and rolls it down by its slot's diagonal offset ``s - 1``.
+Slot ``8g`` needs x row ``8g-1`` — the last row of the *previous* chunk —
+which is carried across steps in a VMEM scratch plane (zeros at ``g = 0``,
+which correctly zeroes slot 0).
+
+Kernel structure (unskew): the inverse walk, slot chunks descending.  Out
+rows ``r0..r0+7`` need slots ``r0+1..r0+8``: seven planes from the aligned
+chunk plus slot ``r0+8`` carried from the previously-processed (higher)
+chunk.  The highest real slot ``Np`` is passed as a pre-sliced side strip
+so the grid has exactly ``Np/8`` steps and every output block is written
+once (no block revisits).  The output is written through a free
+``(Bp, Np*Mp)`` 2-D view whose ``(128, 8*Mp)`` blocks take plain
+lane-offset stores.
+
+Replaces skew_pallas/unskew_pallas (round 1) for the batch-minor backend.
+Reference being re-engineered: the data staging around
+deepblast/nw_cuda.py:46-79 (which needs no relayout only because each CUDA
+thread walks serially — the price is one thread per pair).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["skew_bm", "unskew_bm", "bm_dims"]
+
+LANE = 128
+CH = 8  # slot chunk = sublane quantum; BlockSpec middle dims require 8
+
+# Assembly strategy for the (K2, 8, 128) stream blocks, chosen by the
+# on-chip probes (scripts/probe_bm_patterns.py):
+#   "store"  — per-slot 2D roll + middle-index store o_ref[:, t, :]
+#   "stack"  — per-slot 2D roll, jnp.stack(axis=1), whole-block store
+STRATEGY = "store"
+
+
+def _ru(x, m):
+    return -(-x // m) * m
+
+
+def bm_dims(N, M):
+    """Padded dims shared by both relayouts and the DP kernels:
+    (Np, Mp, S, K2)."""
+    Np = _ru(N, CH)
+    Mp = _ru(M, 16)  # unskew out block lane dim 8*Mp must be 128-divisible
+    S = Np + CH      # slots 0..Np, rounded up
+    K2 = _ru(Np + Mp - 1, 8)
+    return Np, Mp, S, K2
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _roll(x, shift, axis):
+    if _interpret():
+        return jnp.roll(x, shift, axis)
+    return pltpu.roll(x, shift, axis)
+
+
+# ---------------------------------------------------------------------------
+# skew: (B, N, M) -> (K2, S, Bp)
+# ---------------------------------------------------------------------------
+
+def _skew_kernel(x_ref, o_ref, carry, *, K2, M, dtype):
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    xb = x_ref[...]                                   # (128, CH, M)
+    prev = carry[...]                                 # (M, 128)
+    base = (g * CH + K2 - 1) % K2                     # (CH*g - 1) mod K2
+    z = jnp.zeros((K2 - M, LANE), dtype)
+
+    def rolled_plane(t, plane):
+        buf = jnp.concatenate([plane, z], axis=0)     # (K2, 128)
+        return _roll(buf, (base + t) % K2, 0)
+
+    planes = [prev] + [jnp.swapaxes(xb[:, t, :], 0, 1) for t in range(CH - 1)]
+    carry[...] = jnp.swapaxes(xb[:, CH - 1, :], 0, 1)
+    if STRATEGY == "stack":
+        o_ref[...] = jnp.stack(
+            [rolled_plane(t, p) for t, p in enumerate(planes)], axis=1)
+    else:
+        for t, p in enumerate(planes):
+            o_ref[:, t, :] = rolled_plane(t, p)
+
+
+def skew_bm(x, Bp=None):
+    """Batch-minor diagonal relayout ``(B, N, M) -> (K2, S, Bp)``."""
+    B, N, M = x.shape
+    Np, Mp, S, K2 = bm_dims(N, M)
+    if Bp is None:
+        Bp = _ru(B, LANE)
+    if (B, N) != (Bp, Np):
+        x = jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, 0)))
+    kern = functools.partial(_skew_kernel, K2=K2, M=M, dtype=x.dtype)
+    nx = Np // CH
+    return pl.pallas_call(
+        kern,
+        grid=(Bp // LANE, S // CH),
+        in_specs=[pl.BlockSpec(
+            (LANE, CH, M),
+            lambda gb, g: (gb, jnp.minimum(g, nx - 1), 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (K2, CH, LANE), lambda gb, g: (0, g, gb),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K2, S, Bp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, LANE), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(x)
+
+
+# ---------------------------------------------------------------------------
+# unskew: (K2, S, Bp) -> (B, N, M)
+# ---------------------------------------------------------------------------
+
+def _unskew_kernel(s_ref, side_ref, o_ref, carry, *, K2, Np, Mp, ng):
+    g = pl.program_id(1)
+    c = ng - 1 - g                                    # descending slot chunk
+
+    @pl.when(g == 0)
+    def _():
+        # P-form plane of the top slot Np (static roll amount)
+        amt = (K2 - (Np - 1)) % K2
+        carry[...] = _roll(side_ref[...], amt, 0)[:Mp]
+
+    sb = s_ref[...]                                   # (K2, CH, 128)
+    carried = carry[...]                              # (Mp, 128), slot CH*c+CH
+    base = (K2 + 1 - CH * c) % K2                     # K2 - (CH*c - 1)
+
+    def plane(t):
+        amt = (base + (K2 - t)) % K2                  # K2 - (CH*c + t - 1)
+        return _roll(sb[:, t, :], amt, 0)[:Mp]        # (Mp, 128)
+
+    # out rows r = CH*c + u <- slot CH*c+u+1: u<CH-1 from this chunk,
+    # u = CH-1 from the carry
+    for u in range(CH - 1):
+        o_ref[:, u * Mp:(u + 1) * Mp] = jnp.swapaxes(plane(u + 1), 0, 1)
+    o_ref[:, (CH - 1) * Mp:CH * Mp] = jnp.swapaxes(carried, 0, 1)
+    carry[...] = plane(0)
+
+
+def unskew_bm(s, N, M, B, mul=None):
+    """Inverse batch-minor relayout: ``out[b, r, c] = s[r+c, r+1, b]``,
+    returning the first ``B`` pairs.
+
+    ``mul``: optional same-layout diagonal streams; ``s * sum(mul)`` is
+    applied (in XLA) before the relayout, as in the round-1 backends.
+    """
+    K2, S, Bp = s.shape
+    Np, Mp, S2, K2b = bm_dims(N, M)
+    if (S, K2) != (S2, K2b):
+        raise ValueError(f"stream dims {s.shape} do not match bm_dims"
+                         f"({N}, {M}) = {(K2b, S2)}")
+    if mul:
+        q = mul[0][:K2].astype(s.dtype)
+        for m in mul[1:]:
+            q = q + m[:K2].astype(s.dtype)
+        s = s * q
+    ng = Np // CH
+    side = s[:, Np, :]                                # (K2, Bp)
+    kern = functools.partial(_unskew_kernel, K2=K2, Np=Np, Mp=Mp, ng=ng)
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // LANE, ng),
+        in_specs=[
+            pl.BlockSpec((K2, CH, LANE),
+                         lambda gb, g: (0, ng - 1 - g, gb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, LANE), lambda gb, g: (0, gb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (LANE, CH * Mp), lambda gb, g: (gb, ng - 1 - g),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np * Mp), s.dtype),
+        scratch_shapes=[pltpu.VMEM((Mp, LANE), s.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(s, side)
+    out = out.reshape(Bp, Np, Mp)
+    if (Bp, Np, Mp) != (B, N, M):
+        out = out[:B, :N, :M]
+    return out

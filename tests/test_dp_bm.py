@@ -1,0 +1,146 @@
+"""Batch-minor pallas kernels vs. the lax.scan oracle (interpreter mode on
+CPU; the same tests compile natively on TPU via DEEPBLAST_TEST_TPU=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepblast_tpu.ops import dp as dp_mod
+from deepblast_tpu.ops import dp_bm, dp_scan
+from deepblast_tpu.ops.skew import skew, unskew
+from deepblast_tpu.ops.skew_bm import unskew_bm
+
+MODES = ["nw", "sw"]
+
+
+def _problem(rng, B, N, M, dtype=jnp.float32):
+    theta = jnp.asarray(rng.standard_normal((B, N, M)), dtype)
+    A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, dtype)
+    ln = jnp.asarray(rng.integers(3, N + 1, size=B))
+    lm = jnp.asarray(rng.integers(3, M + 1, size=B))
+    ln = ln.at[0].set(N)
+    lm = lm.at[0].set(M)
+    return theta, A, ln, lm
+
+
+def _valid_compare(a_nat, b_nat, ln, lm, lo, **tol):
+    for bi in range(a_nat.shape[0]):
+        n, m = int(ln[bi]), int(lm[bi])
+        np.testing.assert_allclose(a_nat[bi, lo:n, lo:m],
+                                   b_nat[bi, lo:n, lo:m], **tol)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("B,N,M", [(4, 9, 7), (3, 16, 16)])
+def test_forward_backward_parity(mode, B, N, M):
+    rng = np.random.default_rng(0)
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    thetad, Ad = skew(theta), skew(A)
+    thetap, Ap = dp_bm.skew_input(theta), dp_bm.skew_input(A)
+    Et = jnp.asarray(rng.standard_normal(B), jnp.float32)
+
+    vt_s, qs_s = dp_scan.forward_scan(thetad, Ad, ln, lm, mode=mode)
+    vt_p, qs_p = dp_bm.forward_bm(thetap, Ap, ln, lm, mode=mode)
+    np.testing.assert_allclose(vt_p, vt_s, rtol=2e-6, atol=2e-6)
+
+    E_s = unskew(dp_scan.backward_scan(Et, qs_s, ln, lm, mode=mode),
+                 N, M, offset=1)
+    E_p = unskew_bm(dp_bm.backward_bm(Et, qs_p, ln, lm, mode=mode,
+                                      nm=(N, M)), N, M, B)
+    np.testing.assert_allclose(E_p, E_s, rtol=2e-6, atol=2e-6)
+
+    # q is an opaque residual: unmasked outside the valid region, so
+    # compare valid cells only
+    lo = dp_scan.MODE_BOUNDS[mode][0] - 1
+    for a, b in zip(qs_p, qs_s):
+        ua = np.asarray(unskew_bm(a, N, M, B))
+        ub = np.asarray(unskew(b, N, M, offset=1))
+        _valid_compare(ua, ub, ln, lm, lo, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_adjoint_parity(mode):
+    rng = np.random.default_rng(1)
+    B, N, M = 3, 6, 8
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    Zt = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    ZA = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    Et = jnp.ones(B, jnp.float32)
+    thetad, Ad = skew(theta), skew(A)
+    Ztd, ZAd = skew(Zt), skew(ZA)
+
+    _, qs_s = dp_scan.forward_scan(thetad, Ad, ln, lm, mode=mode)
+    Ediag_s = dp_scan.backward_scan(Et, qs_s, ln, lm, mode=mode)
+    vtd_s, qds_s = dp_scan.adjoint_forward_scan(
+        qs_s, Ztd, ZAd, ln, lm, mode=mode)
+    Ed_s = unskew(dp_scan.adjoint_backward_scan(
+        Ediag_s, qs_s, qds_s, ln, lm, mode=mode), N, M, offset=1)
+
+    thetap, Ap = dp_bm.skew_input(theta), dp_bm.skew_input(A)
+    Ztp, ZAp = dp_bm.skew_input(Zt), dp_bm.skew_input(ZA)
+    _, qs_p = dp_bm.forward_bm(thetap, Ap, ln, lm, mode=mode)
+    Ediag_p = dp_bm.backward_bm(Et, qs_p, ln, lm, mode=mode, nm=(N, M))
+    vtd_p, qds_p = dp_bm.adjoint_forward_bm(
+        qs_p, Ztp, ZAp, ln, lm, mode=mode, nm=(N, M))
+    Ed_p = unskew_bm(dp_bm.adjoint_backward_bm(
+        Ediag_p, qs_p, qds_p, ln, lm, mode=mode, nm=(N, M)), N, M, B)
+
+    np.testing.assert_allclose(vtd_p, vtd_s, rtol=2e-5, atol=2e-5)
+    qd_p = np.asarray(unskew_bm(qds_p[0], N, M, B))
+    qd_s = np.asarray(unskew(qds_s[0], N, M, offset=1))
+    lo = dp_scan.MODE_BOUNDS[mode][2] - 1
+    _valid_compare(qd_p, qd_s, ln, lm, lo, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(Ed_p, Ed_s, rtol=2e-5, atol=2e-5)
+
+
+def test_end_to_end_backend_parity():
+    """Dispatcher-level agreement with the scan backend, incl. gradients
+    (i.e. the full nested-custom_vjp wiring over the bm backend)."""
+    rng = np.random.default_rng(2)
+    B, N, M = 2, 5, 6
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    W = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+
+    def loss(backend):
+        def f(theta, A):
+            E = dp_mod.expected_alignment(
+                theta, A, (ln, lm), backend=backend)
+            return jnp.sum(E * W)
+        return f
+
+    l_s, g_s = jax.value_and_grad(loss("scan"), argnums=(0, 1))(theta, A)
+    l_p, g_p = jax.value_and_grad(loss("pallas_bm"), argnums=(0, 1))(
+        theta, A)
+    np.testing.assert_allclose(l_p, l_s, rtol=1e-5)
+    np.testing.assert_allclose(g_p[0], g_s[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_p[1], g_s[1], rtol=1e-4, atol=1e-5)
+
+
+def test_second_order_score_parity():
+    """grad-of-grad of the terminal score through the bm backend vs scan —
+    the reference's gradgradcheck analogue (tests/test_nw.py:69-79) and
+    exactly the depth the training path needs (the loss differentiates
+    through decode = the first grad of the score)."""
+    rng = np.random.default_rng(3)
+    B, N, M = 2, 6, 5
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    W = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    W2 = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+
+    def outer(backend):
+        def score_sum(theta, A):
+            vt = dp_mod.alignment_score(theta, A, (ln, lm), backend=backend)
+            return jnp.sum(vt)
+
+        def f(theta, A):
+            gt, gA = jax.grad(score_sum, argnums=(0, 1))(theta, A)
+            return jnp.sum(gt * W) + jnp.sum(gA * W2)
+        return f
+
+    v_s, gg_s = jax.value_and_grad(outer("scan"), argnums=(0, 1))(theta, A)
+    v_p, gg_p = jax.value_and_grad(outer("pallas_bm"), argnums=(0, 1))(
+        theta, A)
+    np.testing.assert_allclose(v_p, v_s, rtol=1e-4)
+    np.testing.assert_allclose(gg_p[0], gg_s[0], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(gg_p[1], gg_s[1], rtol=1e-3, atol=1e-5)

@@ -1,0 +1,56 @@
+"""Parity tests for the batch-minor relayout kernels (interpreter mode on
+CPU; re-run on chip via DEEPBLAST_TEST_TPU=1)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from deepblast_tpu.ops.skew import skew
+from deepblast_tpu.ops.skew_bm import bm_dims, skew_bm, unskew_bm
+
+
+def _rand(B, N, M, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+
+
+@pytest.mark.parametrize("B,N,M", [
+    (2, 16, 16), (3, 8, 24), (1, 24, 8), (2, 17, 13), (5, 16, 32),
+])
+def test_skew_bm_matches_xla_skew(B, N, M):
+    x = _rand(B, N, M)
+    s = skew_bm(x)
+    Np, Mp, S, K2 = bm_dims(N, M)
+    assert s.shape == (K2, S, -(-B // 128) * 128)
+    # contract: stream[d, s, b] = x[b, s-1, d+1-s]; compare against the
+    # XLA skew (skew(x)[d, b, i] = x[b, i, d-i]) shifted by the slot offset
+    ref = np.asarray(skew(x))                       # (K, B, N)
+    got = np.asarray(s)
+    K = N + M - 1
+    for d in range(K):
+        for sl in range(1, N + 1):
+            j = d + 1 - sl
+            if 0 <= j < M:
+                np.testing.assert_allclose(
+                    got[d, sl, :B], ref[d, :, sl - 1], rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("B,N,M", [
+    (2, 16, 16), (3, 8, 24), (1, 24, 8), (2, 17, 13), (5, 16, 32),
+    (2, 160, 96),
+])
+def test_unskew_bm_roundtrip(B, N, M):
+    x = _rand(B, N, M, seed=1)
+    out = unskew_bm(skew_bm(x), N, M, B)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0)
+
+
+def test_unskew_bm_mul():
+    B, N, M = 2, 16, 24
+    x = _rand(B, N, M, seed=2)
+    s = skew_bm(x)
+    m1 = jnp.ones_like(s) * 2.0
+    m2 = jnp.ones_like(s)
+    out = unskew_bm(s, N, M, B, mul=(m1, m2))
+    np.testing.assert_allclose(np.asarray(out), 3.0 * np.asarray(x),
+                               rtol=1e-6)
