@@ -56,19 +56,48 @@ __all__ = [
 
 
 # ---------------------------------------------------------------------------
-# Backend registry: each backend provides the four skew-layout passes.
-# "scan" is the portable lax.scan implementation; "pallas" (registered by
-# deepblast_tpu.ops.dp_pallas) is the hand-written TPU wavefront kernel.
+# Backend registry: each backend provides the four skew-layout passes behind
+# an *opaque-residual* interface (the residual ``aux`` that ``forward``
+# returns is whatever the backend's reverse passes need — the scan oracle
+# stores the soft-argmax streams, the batch-minor TPU backend stores the
+# value stream and recomputes the soft-argmax flash-style):
+#
+#   skew(x) -> stream
+#   unskew(stream, N, M, B) -> natural (B, N, M)
+#   forward(th_s, A_s, ln, lm, mode=, operator=) -> (vt, aux)
+#   backward(Et, aux, ln, lm, mode=, operator=, want_gap=)
+#       -> (E_s, EA_s | None)            with EA = E * (Qx + Qy)
+#   adjoint_forward(aux, Zt_s, Za_s, ln, lm, mode=, operator=)
+#       -> (vtd, adj_aux)
+#   adjoint_backward(E_s, aux, adj_aux, ln, lm, mode=, operator=)
+#       -> (Ed_s, EdA_s)   with EdA = Ed * (Qx + Qy) + E * (Qdx + Qdy)
+#
+# "scan" is the portable lax.scan implementation; "pallas"/"pallas_bm"
+# (registered by deepblast_tpu.ops.dp_pallas / dp_bm) are the TPU wavefront
+# kernels.
 # ---------------------------------------------------------------------------
 
-def _xla_unskew(s, N, M, B, mul=None):
-    if mul:
-        Kd = s.shape[0]  # mul streams may carry extra unroll-pad rows
-        q = mul[0][:Kd].astype(s.dtype)
-        for m in mul[1:]:
-            q = q + m[:Kd].astype(s.dtype)
-        s = s * q
+def _xla_unskew(s, N, M, B):
     return unskew(s, N, M, offset=1)[:B]
+
+
+def _gap_mul(E_s, aux_x, aux_y):
+    K = E_s.shape[0]
+    return E_s * (aux_x[:K].astype(E_s.dtype) + aux_y[:K].astype(E_s.dtype))
+
+
+def _scan_backward(Et, aux, ln, lm, *, mode, operator, want_gap, nm=None):
+    E = dp_scan.backward_scan(Et, aux, ln, lm, mode=mode)
+    EA = _gap_mul(E, aux[0], aux[2]) if want_gap else None
+    return E, EA
+
+
+def _scan_adjoint_backward(E_s, aux, adj_aux, ln, lm, *, mode,
+                           operator, nm=None):
+    Ed = dp_scan.adjoint_backward_scan(E_s, aux, adj_aux, ln, lm, mode=mode)
+    EdA = _gap_mul(Ed, aux[0], aux[2]) + _gap_mul(E_s, adj_aux[0],
+                                                  adj_aux[2])
+    return Ed, EdA
 
 
 _BACKENDS = {
@@ -76,9 +105,9 @@ _BACKENDS = {
         "skew": skew,
         "unskew": _xla_unskew,
         "forward": dp_scan.forward_scan,
-        "backward": dp_scan.backward_scan,
+        "backward": _scan_backward,
         "adjoint_forward": dp_scan.adjoint_forward_scan,
-        "adjoint_backward": dp_scan.adjoint_backward_scan,
+        "adjoint_backward": _scan_adjoint_backward,
     },
 }
 
@@ -128,19 +157,20 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
         B, N, M = theta.shape
         ln = lnf.astype(jnp.int32)
         lm = lmf.astype(jnp.int32)
-        _, qs = _run_forward(theta, A, ln, lm)
-        Ediag = be["backward"](Et, qs, ln, lm, mode=mode, nm=(N, M))
+        _, aux = _run_forward(theta, A, ln, lm)
+        Ediag, EAdiag = be["backward"](Et, aux, ln, lm, mode=mode,
+                                       operator=operator, want_gap=with_gap,
+                                       nm=(N, M))
         # backends may return batch/lane-padded diagonal buffers
         E_theta = be["unskew"](Ediag, N, M, B)
         if with_gap:
-            E_A = be["unskew"](Ediag, N, M, B, mul=(qs[0], qs[2]))
-            out = (E_theta, E_A)
+            out = (E_theta, be["unskew"](EAdiag, N, M, B))
         else:
             out = E_theta
-        return out, (qs, Ediag, Et, lnf, lmf)
+        return out, (aux, Ediag, Et, lnf, lmf)
 
     def _expected_bwd(res, cts):
-        qs, Ediag, Et, lnf, lmf = res
+        aux, Ediag, Et, lnf, lmf = res
         if with_gap:
             Zt, Za = cts
         else:
@@ -151,15 +181,13 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
         Ztd = be["skew"](Zt)
         ZAd = be["skew"](Za) if Za is not None else jnp.zeros_like(Ztd)
         # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
-        vtd, qds = be["adjoint_forward"](
-            qs, Ztd, ZAd, ln, lm, mode=mode, operator=operator, nm=(N, M))
-        Eddiag = be["adjoint_backward"](Ediag, qs, qds, ln, lm, mode=mode,
-                                        nm=(N, M))
+        vtd, adj_aux = be["adjoint_forward"](
+            aux, Ztd, ZAd, ln, lm, mode=mode, operator=operator, nm=(N, M))
+        Eddiag, EdAdiag = be["adjoint_backward"](
+            Ediag, aux, adj_aux, ln, lm, mode=mode, operator=operator,
+            nm=(N, M))
         g_theta = be["unskew"](Eddiag, N, M, B)
-        Kd = Eddiag.shape[0]  # q/qd streams may carry unroll-pad rows
-        g_A = be["unskew"](
-            Eddiag * (qs[0][:Kd] + qs[2][:Kd])
-            + Ediag * (qds[0][:Kd] + qds[2][:Kd]), N, M, B)
+        g_A = be["unskew"](EdAdiag, N, M, B)
         # E is linear in Et, so d<cts, E>/dEt = <cts, E>/Et = vtd (the
         # adjoint-forward terminal tangent is Et-free).
         return (g_theta, g_A, vtd,

@@ -1,30 +1,49 @@
-"""Batch-minor (lane = batch) Pallas TPU wavefront kernels for the DP.
+"""Batch-minor Pallas TPU wavefront kernels with flash-style recomputation.
 
-Round-2 redesign of :mod:`deepblast_tpu.ops.dp_pallas` (see
-docs/PERF_NOTES.md "Next (ranked; round 2)" #1).  Streams are
-``(K2, S, Bp)`` — DP slot on sublanes, batch on lanes (layout contract in
-:mod:`deepblast_tpu.ops.skew_bm`) — instead of round 1's ``(K, Bp, L)``:
+Round-2 redesign of :mod:`deepblast_tpu.ops.dp_pallas` combining the two
+ranked perf items of docs/PERF_NOTES.md:
 
-* slot padding drops from 25% (``513 -> 640`` lanes) to 1.5%
-  (``513 -> 520`` sublanes) at the bench config, cutting every stream's
-  HBM traffic by the same fraction;
-* the per-diagonal slot shifts (``i-1`` / ``i+1`` neighbours) become
-  static one-sublane shifts of a ``(S, 128)`` plane;
-* the relayouts drop their log2(N) masked shear passes (see skew_bm).
+1. **Batch-minor streams** ``(K2, S, Bp)`` — DP slot on sublanes
+   (``S = Np + 8``, ~1.5% padding vs 25% lane padding in round 1), batch on
+   lanes; relayouts in :mod:`deepblast_tpu.ops.skew_bm`; slot shifts are
+   static one-sublane shifts.
 
-Grid/recursion structure is otherwise identical to dp_pallas (and the
-boundary semantics to :mod:`deepblast_tpu.ops.dp_scan`, the oracle both
-are parity-tested against): grid = (batch-chunks, diagonal-blocks), the
-diagonal axis inner and sequential, DP carries in VMEM scratch, T
-diagonals unrolled per step with in-register carries; the reverse passes
-carry block-straddling rows in VMEM scratch planes.
+2. **Q recomputation** (the DP analogue of flash-attention's softmax
+   recomputation): the forward stores only the *value* stream ``Vs``
+   instead of the three soft-argmax streams ``(Qx, Qm, Qy)``; every reverse
+   pass recomputes the soft-argmax rows it needs from ``Vs`` and the gap
+   stream ``A`` — 3 exps per cell of VPU work against ~2 streams of HBM
+   round-trip saved per pass.  In fp32 the recomputation is bit-exact: it
+   reads the same masked values the forward's in-flight carries held.
 
-Per-pass unroll T is bounded by VMEM (~16 MB): each stream block is
-``T x S x 128`` fp32 per 128-lane batch chunk, double-buffered, so the
-5-stream forward runs T=4 and the 7/8-stream adjoints T=2.
+The one-row-delayed V-stream contract makes this work in *both* walk
+directions with only previous-block scratch carries:
 
-Reference being replaced: deepblast/nw_cuda.py:46-165 (one serial CUDA
-thread per pair); here each grid step advances ``S x 128`` cells.
+    Vs[r] = V[r-1]  (r >= 1),  Vs[0] = 0
+
+where ``V[r]`` are the masked DP values of diagonal row ``r`` (diagonal
+``d = r + 2``).  The soft-argmax of row ``r`` is then
+
+    Q[r] = smooth.max3(A[r] + shr(Vs[r]), shr(Vs[r-1]), A[r] + Vs[r])
+
+so a descending block ``[r0, r0+T)`` can compute all fresh rows
+``Q[r0+1 .. r0+T]`` from in-block rows plus the *above* block's row 0
+(carried in scratch), and an ascending block computes ``Q[r0 .. r0+T-1]``
+from in-block rows plus the *below* block's last row — no unaligned or
+double block reads.  The forward produces the delayed stream for free: its
+value carry ``v1`` entering step ``k`` is exactly ``V[r0-1]``.
+
+Residuals through the dispatcher (deepblast_tpu.ops.dp v2 interface):
+``aux = (Vs, A_s)``, ``adj_aux = (Vds, Za_s)`` — the adjoint forward
+stores the tangent value stream ``Vds`` (same delayed contract) and the
+adjoint backward recomputes the soft-argmax *tangents* via the operator
+Hessian-product from ``(Vds, Za)``.
+
+Boundary semantics (masking, seeding, terminal selection) are identical to
+:mod:`deepblast_tpu.ops.dp_scan`, the oracle these kernels are
+parity-tested against.  Reference being replaced: the paired CUDA kernels
+deepblast/nw_cuda.py:46-165 (one serial thread per pair; stores the full
+Q tensor, deepblast/nw_cuda.py:171-200).
 """
 
 from __future__ import annotations
@@ -38,53 +57,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepblast_tpu.ops import smooth
 from deepblast_tpu.ops.dp_scan import MODE_BOUNDS
-from deepblast_tpu.ops.skew_bm import bm_dims, skew_bm, unskew_bm
+from deepblast_tpu.ops.skew_bm import skew_bm, unskew_bm
 
 __all__ = [
     "forward_bm",
     "backward_bm",
     "adjoint_forward_bm",
     "adjoint_backward_bm",
+    "gap_expectation_bm",
     "register",
 ]
 
 LANE = 128
 
-# Sublane-shift strategy (set from scripts/probe_bm_patterns.py results):
-# True = jnp.concatenate slices; False = pltpu.roll + iota mask.
-SHIFT_CONCAT = True
+# Per-kernel diagonal unroll factors, bounded by VMEM (~16 MB/core): each
+# stream block is T x S x 128 fp32 per batch chunk, double-buffered.
+T_FWD = 8     # 3 streams
+T_BWD = 4     # 3 streams + 5 scratch planes
+T_AFWD = 4    # 5 streams
+T_ABWD = 2    # 6 streams + 10 scratch planes
+T_EA = 4      # 3-4 streams
 
-# Storage dtype for the soft-argmax (Q) streams (see dp_pallas.Q_DTYPE).
-Q_DTYPE = None
+# Storage dtype for the value streams Vs/Vds (None = input dtype).  bf16
+# halves the dominant HBM traffic; compute stays fp32.  Opt-in
+# (bench/inference); tests pin fp32.
+V_DTYPE = None
 
 
 def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _roll(x, shift, axis):
-    if _interpret():
-        return jnp.roll(x, shift, axis)
-    return pltpu.roll(x, shift, axis)
-
-
 def _shr(v):
     """out[s, :] = v[s-1, :]; out[0, :] = 0 (slot shift down)."""
-    if SHIFT_CONCAT:
-        z = jnp.zeros((1, v.shape[1]), v.dtype)
-        return jnp.concatenate([z, v[:-1, :]], axis=0)
-    i = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    return jnp.where(i == 0, jnp.zeros((), v.dtype), _roll(v, 1, 0))
+    z = jnp.zeros((1, v.shape[1]), v.dtype)
+    return jnp.concatenate([z, v[:-1, :]], axis=0)
 
 
 def _shl(v):
     """out[s, :] = v[s+1, :]; out[-1, :] = 0 (slot shift up)."""
-    S = v.shape[0]
-    if SHIFT_CONCAT:
-        z = jnp.zeros((1, v.shape[1]), v.dtype)
-        return jnp.concatenate([v[1:, :], z], axis=0)
-    i = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    return jnp.where(i == S - 1, jnp.zeros((), v.dtype), _roll(v, S - 1, 0))
+    z = jnp.zeros((1, v.shape[1]), v.dtype)
+    return jnp.concatenate([v[1:, :], z], axis=0)
 
 
 def _masks(iarr, d, ln, lm, lo):
@@ -92,6 +105,25 @@ def _masks(iarr, d, ln, lm, lo):
     valid = (iarr >= lo) & (j >= lo) & (iarr <= ln) & (j <= lm)
     term = (iarr == ln) & (d == ln + lm)
     return valid, term
+
+
+def _q_row(operator, a_q, vs_hi, vs_lo):
+    """Soft-argmax of one diagonal row from the delayed value stream:
+    ``vs_hi = Vs[rq] (= V[rq-1])``, ``vs_lo = Vs[rq-1] (= V[rq-2])``."""
+    xarg = a_q + _shr(vs_hi)
+    marg = _shr(vs_lo)
+    yarg = a_q + vs_hi
+    _, qs = smooth.max3(operator, xarg, marg, yarg)
+    return qs
+
+
+def _qd_row(operator, qs, za_q, vds_hi, vds_lo):
+    """Soft-argmax tangent of one row (operator Hessian-product) from the
+    delayed tangent stream."""
+    xargd = za_q + _shr(vds_hi)
+    margd = _shr(vds_lo)
+    yargd = za_q + vds_hi
+    return smooth.hessian3(operator, qs, (xargd, margd, yargd))
 
 
 def _pad_vec(v, Bp, dtype):
@@ -130,17 +162,16 @@ def skew_input(x):
     return skew_bm(x)
 
 
-def unskew_output(s, N, M, B, mul=None):
-    return unskew_bm(s, N, M, B, mul=mul)
+def unskew_output(s, N, M, B):
+    return unskew_bm(s, N, M, B)
 
 
 # ---------------------------------------------------------------------------
-# forward
+# forward: (th, A) -> (vt, Vs)
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
-                vt_ref, qx_ref, qm_ref, qy_ref,
-                v1, v2, *, lo, operator, T):
+                vt_ref, vs_ref, v1, v2, *, lo, operator, T):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -155,22 +186,21 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     lm = lm_ref[...]
     v1v = v1[...]
     v2v = v2[...]
-    qdt = qx_ref.dtype
+    vdt = vs_ref.dtype
     acc = jnp.zeros((1, LANE), vt_ref.dtype)
     for t in range(T):
         d = k * T + t + 2
+        # delayed V-stream write: Vs[r] = V[r-1] = the incoming carry
+        vs_ref[t] = v1v.astype(vdt)
         ash = ad_ref[t]
         xarg = ash + _shr(v1v)
         marg = _shr(v2v)
         yarg = ash + v1v
-        val, (qx, qm, qy) = smooth.max3(operator, xarg, marg, yarg)
+        val, _ = smooth.max3(operator, xarg, marg, yarg)
         vnew = th_ref[t] + val
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), vnew.dtype)
         vnew = jnp.where(valid, vnew, zero)
-        qx_ref[t] = qx.astype(qdt)
-        qm_ref[t] = qm.astype(qdt)
-        qy_ref[t] = qy.astype(qdt)
         acc += jnp.sum(jnp.where(term, vnew, zero), axis=0, keepdims=True)
         v2v = v1v
         v1v = vnew
@@ -180,35 +210,31 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
 
 
 def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
-    """``th``/``ad`` are batch-minor diagonal streams from
-    :func:`skew_input`."""
+    """``th``/``ad`` are batch-minor streams from :func:`skew_input`.
+    Returns ``(vt, aux)`` with ``aux = (Vs, ad)`` — the delayed value
+    stream plus the gap stream the reverse passes recompute Q from."""
     K2, S, Bp = th.shape
     dtype = th.dtype
-    T = 4 if K2 % 4 == 0 else 1
+    T = T_FWD if K2 % T_FWD == 0 else 1
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][0]
 
-    qdt = Q_DTYPE or dtype
+    vdt = V_DTYPE or dtype
     kern = functools.partial(_fwd_kernel, lo=lo, operator=operator, T=T)
     blk = functools.partial(_block_spec, T, S)
-    vt, qx, qm, qy = pl.pallas_call(
+    vt, vs = pl.pallas_call(
         kern,
         grid=(Bp // LANE, K2 // T),
         in_specs=[
             _len_spec(), _len_spec(),
             blk(lambda k: k), blk(lambda k: k),
         ],
-        out_specs=[
-            _vt_spec(),
-            blk(lambda k: k), blk(lambda k: k), blk(lambda k: k),
-        ],
+        out_specs=[_vt_spec(), blk(lambda k: k)],
         out_shape=[
             jax.ShapeDtypeStruct((8, Bp), dtype),
-            jax.ShapeDtypeStruct((K2, S, Bp), qdt),
-            jax.ShapeDtypeStruct((K2, S, Bp), qdt),
-            jax.ShapeDtypeStruct((K2, S, Bp), qdt),
+            jax.ShapeDtypeStruct((K2, S, Bp), vdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, LANE), dtype),
@@ -217,23 +243,24 @@ def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(lnp, lmp, th, ad)
-    return vt[0, :B], (qx, qm, qy)
+    return vt[0, :B], (vs, ad)
 
 
 # ---------------------------------------------------------------------------
-# backward (expected alignment)
+# backward (expected alignment), recomputing Q from (Vs, A)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
-                e_ref, e1, e2, sqx0, sqm0, sqm1, sqy0, *, lo, T, KB):
-    """T diagonals (descending) per step.  Rows ``d+1``/``d+2`` falling in
-    the previously-processed (higher) block are carried in the ``s*``
-    scratches (that block's rows 0 and 1)."""
+def _bwd_kernel(ln_ref, lm_ref, et_ref, vs_ref, ad_ref,
+                e_ref, e1, e2, cvs0, ca0, cqm, *, lo, operator, T, KB):
+    """T diagonals (descending) per step.  Fresh soft-argmax rows
+    ``Q[r0+1 .. r0+T]`` are recomputed from the delayed value stream; the
+    above block's row-0 planes of Vs/A and its lowest fresh ``qm`` are
+    carried in scratch."""
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
-        for ref in (e1, e2, sqx0, sqm0, sqm1, sqy0):
+        for ref in (e1, e2, cvs0, ca0, cqm):
             ref[...] = jnp.zeros_like(ref)
 
     S = e1.shape[0]
@@ -244,23 +271,18 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
     e1v = e1[...]
     e2v = e2[...]
     dt = e1v.dtype
-    rqm0 = sqm0[...]
-    pqx0 = sqx0[...].astype(dt)
-    pqm0 = rqm0.astype(dt)
-    pqm1 = sqm1[...].astype(dt)
-    pqy0 = sqy0[...].astype(dt)
+    pvs0 = cvs0[...].astype(dt)
+    pa0 = ca0[...]
+    qm2 = cqm[...]
     r0 = (KB - 1 - kk) * T
     for lt in reversed(range(T)):
         d = r0 + lt + 2
-        qx1 = pqx0 if lt == T - 1 else qx_ref[lt + 1].astype(dt)
-        qy1 = pqy0 if lt == T - 1 else qy_ref[lt + 1].astype(dt)
-        if lt == T - 1:
-            qm2 = pqm1
-        elif lt == T - 2:
-            qm2 = pqm0
-        else:
-            qm2 = qm_ref[lt + 2].astype(dt)
-        enew = _shl(qx1 * e1v) + _shl(qm2 * e2v) + qy1 * e1v
+        last = lt == T - 1
+        vs_hi = pvs0 if last else vs_ref[lt + 1].astype(dt)
+        vs_lo = vs_ref[lt].astype(dt)
+        a_q = pa0 if last else ad_ref[lt + 1]
+        qx, qm, qy = _q_row(operator, a_q, vs_hi, vs_lo)
+        enew = _shl(qx * e1v) + _shl(qm2 * e2v) + qy * e1v
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), enew.dtype)
         enew = jnp.where(valid, enew, zero)
@@ -268,20 +290,20 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, qx_ref, qm_ref, qy_ref,
         e_ref[lt] = enew
         e2v = e1v
         e1v = enew
+        qm2 = qm
     e1[...] = e1v
     e2[...] = e2v
-    sqx0[...] = qx_ref[0]
-    sqm1[...] = qm_ref[1] if T > 1 else rqm0
-    sqm0[...] = qm_ref[0]
-    sqy0[...] = qy_ref[0]
+    cvs0[...] = vs_ref[0]
+    ca0[...] = ad_ref[0]
+    cqm[...] = qm2
 
 
-def backward_bm(Et, qs, ln, lm, *, mode="nw", nm=None):
-    qx, qm, qy = qs
-    K2, S, Bp = qx.shape
-    dtype = Et.dtype
-    T = 4 if K2 % 4 == 0 else 1
-    qdt = qx.dtype
+def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
+                want_gap=False, nm=None):
+    vs, ad = aux
+    K2, S, Bp = vs.shape
+    dtype = ad.dtype
+    T = T_BWD if K2 % T_BWD == 0 else 1
     B = Et.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
@@ -289,40 +311,44 @@ def backward_bm(Et, qs, ln, lm, *, mode="nw", nm=None):
     lo = MODE_BOUNDS[mode][1]
     KB = K2 // T
 
-    kern = functools.partial(_bwd_kernel, lo=lo, T=T, KB=KB)
+    kern = functools.partial(_bwd_kernel, lo=lo, operator=operator,
+                             T=T, KB=KB)
     blk = functools.partial(_block_spec, T, S)
+    rev = lambda k: KB - 1 - k  # noqa: E731
     (Ediag,) = pl.pallas_call(
         kern,
         grid=(Bp // LANE, KB),
         in_specs=[
             _len_spec(), _len_spec(), _len_spec(),
-            blk(lambda k: KB - 1 - k),
-            blk(lambda k: KB - 1 - k),
-            blk(lambda k: KB - 1 - k),
+            blk(rev), blk(rev),
         ],
-        out_specs=[blk(lambda k: KB - 1 - k)],
+        out_specs=[blk(rev)],
         out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
         scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 2
-        + [pltpu.VMEM((S, LANE), qdt)] * 4,
+        + [pltpu.VMEM((S, LANE), vs.dtype)]
+        + [pltpu.VMEM((S, LANE), dtype)] * 2,
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(lnp, lmp, etp, qx, qm, qy)
-    return Ediag
+    )(lnp, lmp, etp, vs, ad)
+    EA = (gap_expectation_bm(Ediag, aux, operator=operator)
+          if want_gap else None)
+    return Ediag, EA
 
 
 # ---------------------------------------------------------------------------
-# adjoint forward (JVP of forward; Hessian-product for Qd)
+# adjoint forward (JVP of forward): (aux, Zt, Za) -> (vtd, Vds)
 # ---------------------------------------------------------------------------
 
-def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, qx_ref, qm_ref, qy_ref,
-                    vtd_ref, qdx_ref, qdm_ref, qdy_ref,
-                    vd1, vd2, *, lo, operator, T):
+def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, vs_ref, ad_ref,
+                    vtd_ref, vds_ref, vd1, vd2, cvsl,
+                    *, lo, operator, T):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         vd1[...] = jnp.zeros_like(vd1)
         vd2[...] = jnp.zeros_like(vd2)
+        cvsl[...] = jnp.zeros_like(cvsl)
         vtd_ref[...] = jnp.zeros_like(vtd_ref)
 
     S = vd1.shape[0]
@@ -331,91 +357,85 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, qx_ref, qm_ref, qy_ref,
     lm = lm_ref[...]
     vd1v = vd1[...]
     vd2v = vd2[...]
+    dt = vd1v.dtype
+    vs_below = cvsl[...].astype(dt)                  # Vs[r0-1]
+    vdt = vds_ref.dtype
     acc = jnp.zeros((1, LANE), vtd_ref.dtype)
     for t in range(T):
         d = k * T + t + 2
+        vds_ref[t] = vd1v.astype(vdt)
+        vs_hi = vs_ref[t].astype(dt)                 # Vs[r] = V[r-1]
+        vs_lo = vs_below if t == 0 else vs_ref[t - 1].astype(dt)
+        qx, qm, qy = _q_row(operator, ad_ref[t], vs_hi, vs_lo)
         zash = za_ref[t]
-        dt = zash.dtype
-        qx = qx_ref[t].astype(dt)
-        qm = qm_ref[t].astype(dt)
-        qy = qy_ref[t].astype(dt)
         xargd = zash + _shr(vd1v)
         margd = _shr(vd2v)
         yargd = zash + vd1v
         vdnew = zt_ref[t] + qx * xargd + qm * margd + qy * yargd
-        qdx, qdm, qdy = smooth.hessian3(
-            operator, (qx, qm, qy), (xargd, margd, yargd))
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), vdnew.dtype)
         vdnew = jnp.where(valid, vdnew, zero)
-        qdx_ref[t] = qdx
-        qdm_ref[t] = qdm
-        qdy_ref[t] = qdy
         acc += jnp.sum(jnp.where(term, vdnew, zero), axis=0, keepdims=True)
         vd2v = vd1v
         vd1v = vdnew
     vtd_ref[...] += acc
     vd2[...] = vd2v
     vd1[...] = vd1v
+    cvsl[...] = vs_ref[T - 1]
 
 
-def adjoint_forward_bm(qs, zt, za, ln, lm, *, mode="nw",
+def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
                        operator="softmax", nm=None):
-    qx, qm, qy = qs
+    vs, ad = aux
     K2, S, Bp = zt.shape
     dtype = zt.dtype
-    T = 2 if K2 % 2 == 0 else 1
+    T = T_AFWD if K2 % T_AFWD == 0 else 1
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][2]
 
+    vdt = V_DTYPE or dtype
     kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator, T=T)
     blk = functools.partial(_block_spec, T, S)
-    vtd, qdx, qdm, qdy = pl.pallas_call(
+    vtd, vds = pl.pallas_call(
         kern,
         grid=(Bp // LANE, K2 // T),
         in_specs=[
             _len_spec(), _len_spec(),
             blk(lambda k: k), blk(lambda k: k),
-            blk(lambda k: k), blk(lambda k: k), blk(lambda k: k),
+            blk(lambda k: k), blk(lambda k: k),
         ],
-        out_specs=[
-            _vt_spec(),
-            blk(lambda k: k), blk(lambda k: k), blk(lambda k: k),
-        ],
+        out_specs=[_vt_spec(), blk(lambda k: k)],
         out_shape=[
             jax.ShapeDtypeStruct((8, Bp), dtype),
-            jax.ShapeDtypeStruct((K2, S, Bp), dtype),
-            jax.ShapeDtypeStruct((K2, S, Bp), dtype),
-            jax.ShapeDtypeStruct((K2, S, Bp), dtype),
+            jax.ShapeDtypeStruct((K2, S, Bp), vdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, LANE), dtype),
             pltpu.VMEM((S, LANE), dtype),
+            pltpu.VMEM((S, LANE), vs.dtype),
         ],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(lnp, lmp, zt, za, qx, qm, qy)
-    return vtd[0, :B], (qdx, qdm, qdy)
+    )(lnp, lmp, zt, za, vs, ad)
+    return vtd[0, :B], (vds, za)
 
 
 # ---------------------------------------------------------------------------
-# adjoint backward
+# adjoint backward, recomputing Q and Qd from (Vs, A) / (Vds, Za)
 # ---------------------------------------------------------------------------
 
 def _adj_bwd_kernel(ln_ref, lm_ref,
-                    qx_ref, qm_ref, qy_ref,
-                    qdx_ref, qdm_ref, qdy_ref, e_ref,
+                    vs_ref, ad_ref, vds_ref, za_ref, e_ref,
                     ed_ref, ed1, ed2, e1, e2,
-                    sqx0, sqm0, sqm1, sqy0, sdx0, sdm0, sdm1, sdy0,
-                    *, lo, T, KB):
+                    cvs0, ca0, cqm, cvds0, cza0, cqdm,
+                    *, lo, operator, T, KB):
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
-        for ref in (ed1, ed2, e1, e2,
-                    sqx0, sqm0, sqm1, sqy0, sdx0, sdm0, sdm1, sdy0):
+        for ref in (ed1, ed2, e1, e2, cvs0, ca0, cqm, cvds0, cza0, cqdm):
             ref[...] = jnp.zeros_like(ref)
 
     S = ed1.shape[0]
@@ -427,34 +447,28 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
     e1v = e1[...]
     e2v = e2[...]
     dt = e1v.dtype
-    rqm0 = sqm0[...]
-    rdm0 = sdm0[...]
-    pqx0 = sqx0[...].astype(dt)
-    pqm0 = rqm0.astype(dt)
-    pqm1 = sqm1[...].astype(dt)
-    pqy0 = sqy0[...].astype(dt)
-    pdx0 = sdx0[...].astype(dt)
-    pdm0 = rdm0.astype(dt)
-    pdm1 = sdm1[...].astype(dt)
-    pdy0 = sdy0[...].astype(dt)
+    pvs0 = cvs0[...].astype(dt)
+    pa0 = ca0[...]
+    pvds0 = cvds0[...].astype(dt)
+    pza0 = cza0[...]
+    qm2 = cqm[...]
+    qdm2 = cqdm[...]
     r0 = (KB - 1 - kk) * T
     for lt in reversed(range(T)):
         d = r0 + lt + 2
         last = lt == T - 1
-        qx1 = pqx0 if last else qx_ref[lt + 1].astype(dt)
-        qy1 = pqy0 if last else qy_ref[lt + 1].astype(dt)
-        qdx1 = pdx0 if last else qdx_ref[lt + 1].astype(dt)
-        qdy1 = pdy0 if last else qdy_ref[lt + 1].astype(dt)
-        if last:
-            qm2, qdm2 = pqm1, pdm1
-        elif lt == T - 2:
-            qm2, qdm2 = pqm0, pdm0
-        else:
-            qm2 = qm_ref[lt + 2].astype(dt)
-            qdm2 = qdm_ref[lt + 2].astype(dt)
-        ednew = (_shl(qdx1 * e1v + qx1 * ed1v)
+        vs_hi = pvs0 if last else vs_ref[lt + 1].astype(dt)
+        vs_lo = vs_ref[lt].astype(dt)
+        a_q = pa0 if last else ad_ref[lt + 1]
+        qs = _q_row(operator, a_q, vs_hi, vs_lo)
+        qx, qm, qy = qs
+        vds_hi = pvds0 if last else vds_ref[lt + 1].astype(dt)
+        vds_lo = vds_ref[lt].astype(dt)
+        za_q = pza0 if last else za_ref[lt + 1]
+        qdx, qdm, qdy = _qd_row(operator, qs, za_q, vds_hi, vds_lo)
+        ednew = (_shl(qdx * e1v + qx * ed1v)
                  + _shl(qdm2 * e2v + qm2 * ed2v)
-                 + qdy1 * e1v + qy1 * ed1v)
+                 + qdy * e1v + qy * ed1v)
         valid, _ = _masks(iarr, d, ln, lm, lo)
         ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
         ed_ref[lt] = ednew
@@ -462,49 +476,143 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
         ed1v = ednew
         e2v = e1v
         e1v = e_ref[lt]
+        qm2 = qm
+        qdm2 = qdm
     ed1[...] = ed1v
     ed2[...] = ed2v
     e1[...] = e1v
     e2[...] = e2v
-    sqx0[...] = qx_ref[0]
-    sqm1[...] = qm_ref[1] if T > 1 else rqm0
-    sqm0[...] = qm_ref[0]
-    sqy0[...] = qy_ref[0]
-    sdx0[...] = qdx_ref[0]
-    sdm1[...] = qdm_ref[1] if T > 1 else rdm0
-    sdm0[...] = qdm_ref[0]
-    sdy0[...] = qdy_ref[0]
+    cvs0[...] = vs_ref[0]
+    ca0[...] = ad_ref[0]
+    cqm[...] = qm2
+    cvds0[...] = vds_ref[0]
+    cza0[...] = za_ref[0]
+    cqdm[...] = qdm2
 
 
-def adjoint_backward_bm(Ediag, qs, qds, ln, lm, *, mode="nw", nm=None):
-    qx, qm, qy = qs
-    qdx, qdm, qdy = qds
-    K2, S, Bp = qx.shape
+def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
+                        operator="softmax", nm=None):
+    vs, ad = aux
+    vds, za = adj_aux
+    K2, S, Bp = ad.shape
     dtype = Ediag.dtype
-    T = 2 if K2 % 2 == 0 else 1
+    T = T_ABWD if K2 % T_ABWD == 0 else 1
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][3]
-    qdt = qx.dtype
     KB = K2 // T
 
-    kern = functools.partial(_adj_bwd_kernel, lo=lo, T=T, KB=KB)
+    kern = functools.partial(_adj_bwd_kernel, lo=lo, operator=operator,
+                             T=T, KB=KB)
     blk = functools.partial(_block_spec, T, S)
-    rev = blk(lambda k: KB - 1 - k)
+    rev = lambda k: KB - 1 - k  # noqa: E731
     (Eddiag,) = pl.pallas_call(
         kern,
         grid=(Bp // LANE, KB),
-        in_specs=[_len_spec(), _len_spec()] + [
-            _block_spec(T, S, lambda k: KB - 1 - k) for _ in range(7)],
-        out_specs=[rev],
+        in_specs=[_len_spec(), _len_spec(),
+                  blk(rev), blk(rev), blk(rev), blk(rev), blk(rev)],
+        out_specs=[blk(rev)],
         out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
         scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 4
-        + [pltpu.VMEM((S, LANE), qdt)] * 4
-        + [pltpu.VMEM((S, LANE), dtype)] * 4,
+        + [pltpu.VMEM((S, LANE), vs.dtype)]
+        + [pltpu.VMEM((S, LANE), dtype)] * 2
+        + [pltpu.VMEM((S, LANE), vds.dtype)]
+        + [pltpu.VMEM((S, LANE), dtype)] * 2,
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(lnp, lmp, qx, qm, qy, qdx, qdm, qdy, Ediag)
-    return Eddiag
+    )(lnp, lmp, vs, ad, vds, za, Ediag)
+    EdA = _gap_adjoint_bm(Ediag, Eddiag, aux, adj_aux, operator=operator)
+    return Eddiag, EdA
+
+
+# ---------------------------------------------------------------------------
+# gap expectations: EA = E*(Qx+Qy); EdA = Ed*(Qx+Qy) + E*(Qdx+Qdy)
+# (ascending streaming kernels; Q/Qd recomputed row-by-row)
+# ---------------------------------------------------------------------------
+
+def _ea_kernel(e_ref, vs_ref, ad_ref, ea_ref, cvsl, *, operator, T):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        cvsl[...] = jnp.zeros_like(cvsl)
+
+    dt = e_ref.dtype
+    vs_below = cvsl[...].astype(dt)
+    for t in range(T):
+        vs_hi = vs_ref[t].astype(dt)
+        vs_lo = vs_below if t == 0 else vs_ref[t - 1].astype(dt)
+        qx, _, qy = _q_row(operator, ad_ref[t], vs_hi, vs_lo)
+        ea_ref[t] = e_ref[t] * (qx + qy)
+    cvsl[...] = vs_ref[T - 1]
+
+
+def gap_expectation_bm(Ediag, aux, *, operator="softmax"):
+    """``EA = E * (Qx + Qy)`` as a stream (the dVt/dA expectation)."""
+    vs, ad = aux
+    K2, S, Bp = ad.shape
+    dtype = Ediag.dtype
+    T = T_EA if K2 % T_EA == 0 else 1
+    kern = functools.partial(_ea_kernel, operator=operator, T=T)
+    blk = functools.partial(_block_spec, T, S)
+    (EA,) = pl.pallas_call(
+        kern,
+        grid=(Bp // LANE, K2 // T),
+        in_specs=[blk(lambda k: k)] * 3,
+        out_specs=[blk(lambda k: k)],
+        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
+        scratch_shapes=[pltpu.VMEM((S, LANE), vs.dtype)],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(Ediag, vs, ad)
+    return EA
+
+
+def _eda_kernel(e_ref, ed_ref, vs_ref, ad_ref, vds_ref, za_ref,
+                eda_ref, cvsl, cvdsl, *, operator, T):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        cvsl[...] = jnp.zeros_like(cvsl)
+        cvdsl[...] = jnp.zeros_like(cvdsl)
+
+    dt = e_ref.dtype
+    vs_below = cvsl[...].astype(dt)
+    vds_below = cvdsl[...].astype(dt)
+    for t in range(T):
+        vs_hi = vs_ref[t].astype(dt)
+        vs_lo = vs_below if t == 0 else vs_ref[t - 1].astype(dt)
+        qs = _q_row(operator, ad_ref[t], vs_hi, vs_lo)
+        vds_hi = vds_ref[t].astype(dt)
+        vds_lo = vds_below if t == 0 else vds_ref[t - 1].astype(dt)
+        qdx, _, qdy = _qd_row(operator, qs, za_ref[t], vds_hi, vds_lo)
+        eda_ref[t] = (ed_ref[t] * (qs[0] + qs[2])
+                      + e_ref[t] * (qdx + qdy))
+    cvsl[...] = vs_ref[T - 1]
+    cvdsl[...] = vds_ref[T - 1]
+
+
+def _gap_adjoint_bm(Ediag, Eddiag, aux, adj_aux, *, operator="softmax"):
+    vs, ad = aux
+    vds, za = adj_aux
+    K2, S, Bp = ad.shape
+    dtype = Ediag.dtype
+    T = T_ABWD if K2 % T_ABWD == 0 else 1
+    kern = functools.partial(_eda_kernel, operator=operator, T=T)
+    blk = functools.partial(_block_spec, T, S)
+    (EdA,) = pl.pallas_call(
+        kern,
+        grid=(Bp // LANE, K2 // T),
+        in_specs=[blk(lambda k: k)] * 6,
+        out_specs=[blk(lambda k: k)],
+        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
+        scratch_shapes=[pltpu.VMEM((S, LANE), vs.dtype),
+                        pltpu.VMEM((S, LANE), vds.dtype)],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(Ediag, Eddiag, vs, ad, vds, za)
+    return EdA
 
 
 def register(make_default=None):

@@ -592,6 +592,23 @@ def adjoint_backward_pallas(Ediag, qs, qds, ln, lm, *, mode="nw", nm=None):
     return Eddiag
 
 
+def _backward_v2(Et, aux, ln, lm, *, mode="nw", operator="softmax",
+                 want_gap=False, nm=None):
+    from deepblast_tpu.ops.dp import _gap_mul
+    E = backward_pallas(Et, aux, ln, lm, mode=mode, nm=nm)
+    EA = _gap_mul(E, aux[0], aux[2]) if want_gap else None
+    return E, EA
+
+
+def _adjoint_backward_v2(E_s, aux, adj_aux, ln, lm, *, mode="nw",
+                         operator="softmax", nm=None):
+    from deepblast_tpu.ops.dp import _gap_mul
+    Ed = adjoint_backward_pallas(E_s, aux, adj_aux, ln, lm, mode=mode, nm=nm)
+    EdA = _gap_mul(Ed, aux[0], aux[2]) + _gap_mul(E_s, adj_aux[0],
+                                                  adj_aux[2])
+    return Ed, EdA
+
+
 def register(make_default=None):
     """Register the pallas backend with the DP dispatcher.
 
@@ -604,7 +621,7 @@ def register(make_default=None):
         "skew": skew_input,
         "unskew": unskew_output,
         "forward": forward_pallas,
-        "backward": backward_pallas,
+        "backward": _backward_v2,
         "adjoint_forward": adjoint_forward_pallas,
-        "adjoint_backward": adjoint_backward_pallas,
+        "adjoint_backward": _adjoint_backward_v2,
     }, make_default=make_default)

@@ -178,23 +178,14 @@ def _unskew_kernel(s_ref, side_ref, o_ref, carry, *, K2, Np, Mp, ng):
     carry[...] = plane(0)
 
 
-def unskew_bm(s, N, M, B, mul=None):
+def unskew_bm(s, N, M, B):
     """Inverse batch-minor relayout: ``out[b, r, c] = s[r+c, r+1, b]``,
-    returning the first ``B`` pairs.
-
-    ``mul``: optional same-layout diagonal streams; ``s * sum(mul)`` is
-    applied (in XLA) before the relayout, as in the round-1 backends.
-    """
+    returning the first ``B`` pairs."""
     K2, S, Bp = s.shape
     Np, Mp, S2, K2b = bm_dims(N, M)
     if (S, K2) != (S2, K2b):
         raise ValueError(f"stream dims {s.shape} do not match bm_dims"
                          f"({N}, {M}) = {(K2b, S2)}")
-    if mul:
-        q = mul[0][:K2].astype(s.dtype)
-        for m in mul[1:]:
-            q = q + m[:K2].astype(s.dtype)
-        s = s * q
     ng = Np // CH
     side = s[:, Np, :]                                # (K2, Bp)
     kern = functools.partial(_unskew_kernel, K2=K2, Np=Np, Mp=Mp, ng=ng)

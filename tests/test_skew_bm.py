@@ -45,12 +45,8 @@ def test_unskew_bm_roundtrip(B, N, M):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0)
 
 
-def test_unskew_bm_mul():
-    B, N, M = 2, 16, 24
-    x = _rand(B, N, M, seed=2)
+def test_unskew_bm_rejects_mismatched_stream():
+    x = _rand(2, 16, 24, seed=2)
     s = skew_bm(x)
-    m1 = jnp.ones_like(s) * 2.0
-    m2 = jnp.ones_like(s)
-    out = unskew_bm(s, N, M, B, mul=(m1, m2))
-    np.testing.assert_allclose(np.asarray(out), 3.0 * np.asarray(x),
-                               rtol=1e-6)
+    with pytest.raises(ValueError):
+        unskew_bm(s, 16, 128, 2)
