@@ -64,28 +64,27 @@ def revstate_f(z):
         return ":"
 
 
-_TAPE_ADVANCE = {
-    (x, x): (1, 0), (x, m): (1, 1), (m, m): (1, 1), (m, x): (1, 0),
-    (m, y): (0, 1), (y, y): (0, 1), (y, m): (1, 1), (x, y): (0, 1),
-    (y, x): (1, 0),
-}
-
-
 def states2edges(states):
     """State string -> list of (i, j) matrix coordinates along the path
-    (reference: deepblast/dataset/utils.py:107-114).  Start/end states are
-    treated as matches, anchoring the path at (0, 0)."""
-    states = list(states)
-    coords = [(0, 0)]
-    i = j = 0
-    for a, b in zip(states[:-1], states[1:]):
-        try:
-            di, dj = _TAPE_ADVANCE[(a, b)]
-        except KeyError:
-            raise ValueError(f"`Transition` ({a}, {b}) is not allowed.")
-        i, j = i + di, j + dj
-        coords.append((i, j))
-    return coords
+    (reference: deepblast/dataset/utils.py:107-114).
+
+    Coordinates are consumption-based: state ``t`` sits at row
+    ``(#x + #m consumed so far) - 1`` and column ``(#y + #m so far) - 1``
+    (clipped at 0), so the resulting matrix dims always equal the ungapped
+    sequence lengths.  Documented deviation: the reference walks pairwise
+    transitions from a fixed ``(0, 0)`` anchor, which phantom-advances the
+    opposite index when the string *starts* with a gap run — its own
+    Malidup fixture then yields an (81, 82) matrix for an 81/81 pair
+    (dataset/tests/test_dataset.py:60-70 hard-codes the inconsistent
+    shape).  Interior transitions are identical."""
+    states = np.asarray(list(states))
+    known = (states == x) | (states == m) | (states == y)
+    if not known.all():
+        bad = states[~known][0]
+        raise ValueError(f"Unknown state code {bad!r} in state string.")
+    ci = np.maximum(np.cumsum((states == x) | (states == m)) - 1, 0)
+    cj = np.maximum(np.cumsum((states == y) | (states == m)) - 1, 0)
+    return list(zip(ci.tolist(), cj.tolist()))
 
 
 def states2matrix(states, sparse=False):

@@ -273,6 +273,13 @@ def traceback(grad):
     sliced to true lengths.  Returns a list of ``(i, j, state)`` tuples with
     states (x, m, y) = (0, 1, 2), identical to the reference walk including
     its tie-breaking order (left, diag, up) and trailing-gap padding.
+
+    Documented deviation: the diagonal move is disabled when *either* index
+    is at the border.  The reference guards it with ``i <= 0 and j <= 0``
+    (deepblast/nw.py:423), so at ``i == 0, j > 0`` it reads
+    ``grad[-1, j-1]`` — the tensor wraps to the *last* row and the walk can
+    leave the matrix (observable on the reference's own ``dm.txt`` fixture,
+    whose test is CUDA-gated and never ran: tests/test_nw_cuda.py:79-89).
     """
     grad = np.asarray(grad)
     m, x, y = 1, 0, 2
@@ -282,7 +289,7 @@ def traceback(grad):
     neg = -100000.0
     while True:
         left = neg if i <= 0 else grad[i - 1, j]
-        diag = neg if (i <= 0 and j <= 0) else grad[i - 1, j - 1]
+        diag = neg if (i <= 0 or j <= 0) else grad[i - 1, j - 1]
         upper = neg if j <= 0 else grad[i, j - 1]
         if left == neg and diag == neg and upper == neg:
             break

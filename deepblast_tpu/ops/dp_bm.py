@@ -88,16 +88,38 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+# Sublane-shift lowering (both probed correct on-chip; perf-selectable via
+# DEEPBLAST_SHIFT=roll for measurement, see scripts/profile_bm.py)
+import os as _os  # noqa: E402
+
+SHIFT_CONCAT = _os.environ.get("DEEPBLAST_SHIFT", "concat") == "concat"
+
+
 def _shr(v):
     """out[s, :] = v[s-1, :]; out[0, :] = 0 (slot shift down)."""
-    z = jnp.zeros((1, v.shape[1]), v.dtype)
-    return jnp.concatenate([z, v[:-1, :]], axis=0)
+    if SHIFT_CONCAT:
+        z = jnp.zeros((1, v.shape[1]), v.dtype)
+        return jnp.concatenate([z, v[:-1, :]], axis=0)
+    if _interpret():
+        r = jnp.roll(v, 1, 0)
+    else:
+        r = pltpu.roll(v, 1, 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    return jnp.where(i == 0, jnp.zeros((), v.dtype), r)
 
 
 def _shl(v):
     """out[s, :] = v[s+1, :]; out[-1, :] = 0 (slot shift up)."""
-    z = jnp.zeros((1, v.shape[1]), v.dtype)
-    return jnp.concatenate([v[1:, :], z], axis=0)
+    S = v.shape[0]
+    if SHIFT_CONCAT:
+        z = jnp.zeros((1, v.shape[1]), v.dtype)
+        return jnp.concatenate([v[1:, :], z], axis=0)
+    if _interpret():
+        r = jnp.roll(v, S - 1, 0)
+    else:
+        r = pltpu.roll(v, S - 1, 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    return jnp.where(i == S - 1, jnp.zeros((), v.dtype), r)
 
 
 def _masks(iarr, d, ln, lm, lo):

@@ -59,11 +59,13 @@ __all__ = ["skew_bm", "unskew_bm", "bm_dims"]
 LANE = 128
 CH = 8  # slot chunk = sublane quantum; BlockSpec middle dims require 8
 
-# Assembly strategy for the (K2, 8, 128) stream blocks, chosen by the
-# on-chip probes (scripts/probe_bm_patterns.py):
+# Assembly strategy for the (K2, 8, 128) stream blocks, chosen by on-chip
+# measurement (scripts/profile_bm.py; override: DEEPBLAST_SKEW_STRATEGY):
 #   "store"  — per-slot 2D roll + middle-index store o_ref[:, t, :]
 #   "stack"  — per-slot 2D roll, jnp.stack(axis=1), whole-block store
-STRATEGY = "store"
+import os as _os  # noqa: E402
+
+STRATEGY = _os.environ.get("DEEPBLAST_SKEW_STRATEGY", "store")
 
 
 def _ru(x, m):

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Standalone per-stage timings for the batch-minor DP backend at the
+bench config (B=256, 512x512, fp32).  Stages overlap differently in the
+real decode graph; these numbers guide tuning (see docs/PERF_NOTES.md).
+
+Env overrides: T_FWD, T_BWD, T_AFWD, T_ABWD, V_DTYPE=bf16, STAGES=...
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python scripts/profile_bm.py
+"""
+
+import json
+import os
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/deepblast_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepblast_tpu.ops import dp_bm
+from deepblast_tpu.ops.skew_bm import skew_bm, unskew_bm
+from deepblast_tpu.utils.timing import time_op
+
+for name in ("T_FWD", "T_BWD", "T_AFWD", "T_ABWD", "T_EA"):
+    if os.environ.get(name):
+        setattr(dp_bm, name, int(os.environ[name]))
+if os.environ.get("V_DTYPE") == "bf16":
+    dp_bm.V_DTYPE = jnp.bfloat16
+
+B, N, M = 256, 512, 512
+rng = np.random.default_rng(0)
+theta = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, jnp.float32)
+ln = jnp.full((B,), N, jnp.int32)
+lm = jnp.full((B,), M, jnp.int32)
+Et = jnp.ones((B,), jnp.float32)
+
+th_s = skew_bm(theta)
+A_s = skew_bm(A)
+vt, aux = jax.jit(dp_bm.forward_bm, static_argnames=())(th_s, A_s, ln, lm)
+E_s, _ = dp_bm.backward_bm(Et, aux, ln, lm)
+vtd, adj_aux = dp_bm.adjoint_forward_bm(aux, th_s, A_s, ln, lm)
+
+stages = os.environ.get(
+    "STAGES", "skew,fwd,bwd,unskew,afwd,abwd").split(",")
+results = {}
+
+
+def run(name, fn, *args, reps=8):
+    if name not in stages:
+        return
+    dt = time_op(fn, *args, reps=reps, iters=3)
+    results[name] = round(dt * 1e3, 2)
+    print(f"{name}: {dt*1e3:.2f} ms", flush=True)
+
+
+run("skew", lambda x, _eps=0.0: skew_bm(x + _eps), theta)
+run("fwd", lambda a, b, _eps=0.0:
+    dp_bm.forward_bm(a + _eps, b, ln, lm), th_s, A_s)
+run("bwd", lambda v, a, _eps=0.0:
+    dp_bm.backward_bm(Et, (v + _eps, a), ln, lm)[0], aux[0], A_s)
+run("unskew", lambda s, _eps=0.0: unskew_bm(s + _eps, N, M, B), E_s)
+run("afwd", lambda v, a, zt, za, _eps=0.0:
+    dp_bm.adjoint_forward_bm((v + _eps, a), zt, za, ln, lm),
+    aux[0], A_s, th_s, A_s)
+run("abwd", lambda e, v, a, vd, za, _eps=0.0:
+    dp_bm.adjoint_backward_bm(e + _eps, (v, a), (vd, za), ln, lm),
+    E_s, aux[0], A_s, adj_aux[0], A_s)
+
+cfg = {k: getattr(dp_bm, k) for k in
+       ("T_FWD", "T_BWD", "T_AFWD", "T_ABWD", "T_EA")}
+cfg["V_DTYPE"] = str(dp_bm.V_DTYPE)
+print(json.dumps({"config": cfg, "ms": results}))

