@@ -72,6 +72,11 @@ def add_infra_args(parser: argparse.ArgumentParser):
                         help="tensor-parallel mesh width")
     parser.add_argument("--load-from-checkpoint", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--precision", type=str, default="32",
+                        choices=("32", "bf16", "16"),
+                        help="matmul compute dtype for the heads/LM "
+                        "(reference: scripts/deepblast-train:95-103); the "
+                        "DP kernels always accumulate in fp32")
     return parser
 
 
@@ -99,6 +104,7 @@ def config_from_args(args) -> DeepBLASTConfig:
         grad_accum=getattr(args, "grad_accum", 1),
         mask_gaps=bool(args.mask_gaps),
         seed=getattr(args, "seed", 0),
+        precision=getattr(args, "precision", "32"),
         train_pairs=args.train_pairs,
         valid_pairs=args.valid_pairs,
         test_pairs=args.test_pairs,

@@ -110,6 +110,58 @@ class BiLM(nn.Module):
         return jax.nn.log_softmax(logp, axis=-1)
 
 
+def convert_bepler_bilm(state_dict, *, num_layers=2):
+    """Map a Bepler et al. 2019 tied-BiLM torch checkpoint (the reference
+    registry's ``lstm2x.pt`` layout: ``embed.weight``,
+    ``rnn.{i}.{weight,bias}_{ih,hh}_l0``, ``linear.{weight,bias}`` —
+    reference: deepblast/language_model.py:50-85) onto the :class:`BiLM`
+    flax parameter tree.
+
+    Torch fuses the four LSTM gates row-wise in (input, forget, cell,
+    output) order and carries two bias vectors; flax keeps one dense per
+    gate with the bias on the hidden-side dense, so each torch gate chunk
+    transposes into a ``(in, H)`` kernel and the two bias chunks sum.
+    """
+
+    def g(key):
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+
+    gates = ("i", "f", "g", "o")
+    p = {"embed": {"embedding": g("embed.weight")},
+         "linear": {"kernel": g("linear.weight").T,
+                    "bias": g("linear.bias")}}
+    for i in range(num_layers):
+        w_ih = g(f"rnn.{i}.weight_ih_l0")
+        w_hh = g(f"rnn.{i}.weight_hh_l0")
+        b = g(f"rnn.{i}.bias_ih_l0") + g(f"rnn.{i}.bias_hh_l0")
+        H = w_hh.shape[1]
+        cell = {}
+        for n, gate in enumerate(gates):
+            rows = slice(n * H, (n + 1) * H)
+            cell[f"i{gate}"] = {"kernel": w_ih[rows].T}
+            cell[f"h{gate}"] = {"kernel": w_hh[rows].T, "bias": b[rows]}
+        p[f"lstm{i}"] = {"cell": cell}
+    return {"params": p}
+
+
+def load_bilm(path, **kw):
+    """Load a pretrained tied BiLM from a torch checkpoint file
+    (reference: deepblast/language_model.py:16-18 ``lstm2x.pt``)."""
+    import torch  # host-side, offline conversion only
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):           # whole-module pickles
+        sd = sd.state_dict()
+    H = sd["rnn.0.weight_hh_l0"].shape[1]
+    nin, emb = sd["embed.weight"].shape
+    nout = sd["linear.weight"].shape[0]
+    nl = len({k.split(".")[1] for k in sd if k.startswith("rnn.")})
+    model = BiLM(nin=nin, nout=nout, embedding_dim=emb, hidden_dim=H,
+                 num_layers=nl, **kw)
+    return model, convert_bepler_bilm(sd, num_layers=nl)
+
+
 class TokenEmbed(nn.Module):
     """Plain learned token embedding — the LM-free debug/minimal path
     (stands in for a frozen LM in tests and small-scale runs)."""

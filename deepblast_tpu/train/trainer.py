@@ -80,6 +80,9 @@ class DeepBLASTConfig:
     grad_accum: int = 1
     mask_gaps: bool = True
     seed: int = 0
+    # "32" | "bf16" | "16": head/LM matmul compute dtype (reference
+    # --precision, scripts/deepblast-train:95-103); DP stays fp32.
+    precision: str = "32"
     # data
     train_pairs: Optional[str] = None
     valid_pairs: Optional[str] = None
@@ -100,6 +103,10 @@ class DeepBLASTConfig:
         d = json.loads(s)
         return cls(**{k: v for k, v in d.items()
                       if k in {f.name for f in dataclasses.fields(cls)}})
+
+
+#: --precision value -> aligner/LM matmul dtype (None = full fp32)
+_PRECISION_DTYPES = {"32": None, "bf16": "bfloat16", "16": "float16"}
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -129,6 +136,7 @@ class DeepBLAST:
             alignment_mode=config.alignment_mode,
             operator=config.operator,
             backend=config.backend,
+            matmul_dtype=_PRECISION_DTYPES[config.precision],
         )
         self.tx = self._build_optimizer()
         self.mesh = None
@@ -147,7 +155,9 @@ class DeepBLAST:
                         embedding_dim=hidden, hidden_dim=hidden,
                         num_layers=2)
         if c.lm_type == "prot_t5":
-            return T5Encoder(T5Config.prot_t5_xl())
+            mm = _PRECISION_DTYPES[c.precision]
+            dt = jnp.dtype(mm) if mm else jnp.float32
+            return T5Encoder(T5Config.prot_t5_xl(dtype=dt))
         raise ValueError(f"unknown lm_type {c.lm_type!r}")
 
     def _lm_apply(self, lm_params, tokens, lengths):

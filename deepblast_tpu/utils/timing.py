@@ -22,12 +22,20 @@ import numpy as np
 __all__ = ["time_op"]
 
 
-def time_op(op, *args, reps=8, iters=5, warmup=1):
+def time_op(op, *args, reps=8, iters=5, warmup=1, probe=True):
     """Median per-repetition seconds for ``op(*args, _eps=...)``.
 
     ``op`` is re-executed ``reps`` times inside a single jit with a scalar
     data-dependency (`_eps`) threaded between repetitions so XLA cannot
     collapse them.
+
+    With ``probe=True`` (default) the dependency reads only a 128-element
+    probe of each output leaf instead of summing it in full — a full sum
+    re-reads every output from HBM each repetition, which inflated
+    bandwidth-bound kernels by ~35% (round-2 finding).  Probe reads are
+    safe for pallas/custom-call outputs (the kernel always runs in full);
+    pass ``probe=False`` when timing pure-XLA elementwise ops that dead-code
+    elimination could otherwise shrink to the probed elements.
     """
 
     @jax.jit
@@ -35,7 +43,11 @@ def time_op(op, *args, reps=8, iters=5, warmup=1):
         def body(c, _):
             out = op(*args, _eps=c * 1e-30)
             leaves = jax.tree_util.tree_leaves(out)
-            s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            if probe:
+                s = sum(jnp.sum(l.reshape(-1)[:128]).astype(jnp.float32)
+                        for l in leaves)
+            else:
+                s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
             return s * 1e-30, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return c

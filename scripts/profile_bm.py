@@ -43,7 +43,7 @@ E_s, _ = dp_bm.backward_bm(Et, aux, ln, lm)
 vtd, adj_aux = dp_bm.adjoint_forward_bm(aux, th_s, A_s, ln, lm)
 
 stages = os.environ.get(
-    "STAGES", "skew,fwd,bwd,unskew,afwd,abwd").split(",")
+    "STAGES", "skew,fwd,bwd,unskew,afwd,abwd,decode,grad").split(",")
 results = {}
 
 
@@ -67,6 +67,28 @@ run("afwd", lambda v, a, zt, za, _eps=0.0:
 run("abwd", lambda e, v, a, vd, za, _eps=0.0:
     dp_bm.adjoint_backward_bm(e + _eps, (v, a), (vd, za), ln, lm),
     E_s, aux[0], A_s, adj_aux[0], A_s)
+
+# end-to-end graphs through the dispatcher (the honest units: decode =
+# 2 skews + fwd + bwd + unskew; grad = decode + 2 skews + afwd + abwd +
+# 2 unskews — the training hot path)
+from deepblast_tpu.ops import dp as dp_ops  # noqa: E402
+
+dp_bm.register(make_default=True)
+
+
+def _decode(th, a, _eps=0.0):
+    return dp_ops.expected_alignment(th + _eps, a, (ln, lm), mode="nw")
+
+
+def _grad(th, a, _eps=0.0):
+    def loss(t, g):
+        E = dp_ops.expected_alignment(t, g, (ln, lm), mode="nw")
+        return jnp.sum(E * E)
+    return jax.grad(loss, argnums=(0, 1))(th + _eps, a)
+
+
+run("decode", _decode, theta, A)
+run("grad", _grad, theta, A)
 
 cfg = {k: getattr(dp_bm, k) for k in
        ("T_FWD", "T_BWD", "T_AFWD", "T_ABWD", "T_EA")}

@@ -213,20 +213,35 @@ def test_traceback_golden():
     assert xs == N and ys == M
 
 
-def test_second_order_finite_difference():
-    """Directional finite-difference check of the second-order path."""
+@pytest.mark.parametrize("mode", ["nw", "sw"])
+@pytest.mark.parametrize("operator", ["softmax", "sparsemax"])
+def test_second_order_finite_difference(mode, operator):
+    """Directional finite-difference check of the second-order path, for
+    both modes and both smooth operators — the external oracle the
+    reference covers with gradgradcheck (reference:
+    deepblast/tests/test_nw.py:69-79, deepblast/tests/test_sw.py).  The SW
+    adjoint bounds intentionally deviate from the reference
+    (self-consistent; see dp_scan.py), so internal double-AD consistency
+    alone would not catch a wrong-but-consistent adjoint."""
     rng = np.random.default_rng(7)
-    B, N, M = 1, 4, 4
+    B, N, M = 2, 5, 4
     theta = jnp.asarray(rng.standard_normal((B, N, M)))
-    A = jnp.asarray(rng.standard_normal((B, N, M)))
+    A = jnp.asarray(rng.standard_normal((B, N, M)) - 0.5)
     W = jnp.asarray(rng.standard_normal((B, N, M)))
-    dirn = jnp.asarray(rng.standard_normal((B, N, M)))
+    dirn_t = jnp.asarray(rng.standard_normal((B, N, M)))
+    dirn_a = jnp.asarray(rng.standard_normal((B, N, M)))
 
-    def loss(t):
-        E = dp_mod.expected_alignment(t, A)
+    def loss(t, a):
+        E = dp_mod.expected_alignment(t, a, mode=mode, operator=operator)
         return jnp.sum(E * W)
 
-    g = jax.grad(loss)(theta)
+    gt, ga = jax.grad(loss, argnums=(0, 1))(theta, A)
     eps = 1e-5
-    fd = (loss(theta + eps * dirn) - loss(theta - eps * dirn)) / (2 * eps)
-    np.testing.assert_allclose(jnp.vdot(g, dirn), fd, rtol=1e-5, atol=1e-7)
+    fd_t = (loss(theta + eps * dirn_t, A)
+            - loss(theta - eps * dirn_t, A)) / (2 * eps)
+    fd_a = (loss(theta, A + eps * dirn_a)
+            - loss(theta, A - eps * dirn_a)) / (2 * eps)
+    np.testing.assert_allclose(jnp.vdot(gt, dirn_t), fd_t,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(jnp.vdot(ga, dirn_a), fd_a,
+                               rtol=1e-4, atol=1e-7)
