@@ -1,43 +1,48 @@
-"""Batch-minor Pallas TPU wavefront kernels with flash-style recomputation.
+"""Batch-minor Pallas TPU wavefront kernels with difference-stream
+recomputation.
 
 Round-2 redesign of :mod:`deepblast_tpu.ops.dp_pallas` combining the two
-ranked perf items of docs/PERF_NOTES.md:
+ranked perf items of docs/PERF_NOTES.md, in their final form:
 
 1. **Batch-minor streams** ``(K2, S, Bp)`` — DP slot on sublanes
    (``S = Np + 8``, ~1.5% padding vs 25% lane padding in round 1), batch on
    lanes; relayouts in :mod:`deepblast_tpu.ops.skew_bm`; slot shifts are
    static one-sublane shifts.
 
-2. **Q recomputation** (the DP analogue of flash-attention's softmax
-   recomputation): the forward stores only the *value* stream ``Vs``
-   instead of the three soft-argmax streams ``(Qx, Qm, Qy)``; every reverse
-   pass recomputes the soft-argmax rows it needs from ``Vs`` and the gap
-   stream ``A`` — 3 exps per cell of VPU work against ~2 streams of HBM
-   round-trip saved per pass.  In fp32 the recomputation is bit-exact: it
-   reads the same masked values the forward's in-flight carries held.
+2. **Difference-stream Q recomputation** (the DP analogue of
+   flash-attention's softmax recomputation, exploiting that every smooth
+   max operator here is *additively equivariant*): instead of the three
+   soft-argmax streams (or the raw value stream), the forward stores the
+   two transition-argument differences
 
-The one-row-delayed V-stream contract makes this work in *both* walk
-directions with only previous-block scratch carries:
+       Dx[r] = xarg - yarg = shr(V[r-1]) - V[r-1]          (A cancels)
+       Dm[r] = marg - yarg = shr(V[r-2]) - A[r] - V[r-1]
 
-    Vs[r] = V[r-1]  (r >= 1),  Vs[0] = 0
+   so every reverse pass recomputes ``Q[r] = softargmax(Dx[r], Dm[r], 0)``
+   row-aligned, with no delayed-stream contract and no cross-block Q
+   carries.  The differences are O(1)-range (neighbouring DP values), so
+   bf16 storage loses ~1e-3 of E instead of the ~2e-2 a bf16 *value*
+   stream costs — and the forward value recurrence reduces to
+   ``V[r] = theta + A + V[r-1] + max3(Dx, Dm, 0)``.
 
-where ``V[r]`` are the masked DP values of diagonal row ``r`` (diagonal
-``d = r + 2``).  The soft-argmax of row ``r`` is then
+   The adjoint passes use the same algebra on the tangent side: since the
+   soft-argmax is a probability vector (``qx+qm+qy = 1``) the tangent
+   recurrence reduces to ``yargd + qx*Dxd + qm*Dmd`` with
 
-    Q[r] = smooth.max3(A[r] + shr(Vs[r]), shr(Vs[r-1]), A[r] + Vs[r])
+       Dxd[r] = shr(Vd[r-1]) - Vd[r-1]                     (Za cancels)
+       Dmd[r] = shr(Vd[r-2]) - Za[r] - Vd[r-1]
 
-so a descending block ``[r0, r0+T)`` can compute all fresh rows
-``Q[r0+1 .. r0+T]`` from in-block rows plus the *above* block's row 0
-(carried in scratch), and an ascending block computes ``Q[r0 .. r0+T-1]``
-from in-block rows plus the *below* block's last row — no unaligned or
-double block reads.  The forward produces the delayed stream for free: its
-value carry ``v1`` entering step ``k`` is exactly ``V[r0-1]``.
+   and the operator Hessian-product is shift-invariant (J @ 1 = 0 for all
+   three operators), so ``Qd[r] = hessian3(Q[r], (Dxd[r], Dmd[r], 0))``.
 
 Residuals through the dispatcher (deepblast_tpu.ops.dp v2 interface):
-``aux = (Vs, A_s)``, ``adj_aux = (Vds, Za_s)`` — the adjoint forward
-stores the tangent value stream ``Vds`` (same delayed contract) and the
-adjoint backward recomputes the soft-argmax *tangents* via the operator
-Hessian-product from ``(Vds, Za)``.
+``aux = (Dx, Dm)``, ``adj_aux = (Dxd, Dmd)``.
+
+All kernels here are DMA-bound (probed: a pure stream copy costs the same
+as the full forward), so stream storage dtypes are the first-order perf
+lever: ``STREAM_DTYPE`` (skewed inputs), ``D_DTYPE`` (difference
+residuals), ``E_DTYPE`` (expectation outputs) opt into bf16 storage while
+every in-kernel recurrence stays fp32.
 
 Boundary semantics (masking, seeding, terminal selection) are identical to
 :mod:`deepblast_tpu.ops.dp_scan`, the oracle these kernels are
@@ -49,6 +54,7 @@ Q tensor, deepblast/nw_cuda.py:171-200).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -64,34 +70,40 @@ __all__ = [
     "backward_bm",
     "adjoint_forward_bm",
     "adjoint_backward_bm",
-    "gap_expectation_bm",
     "register",
 ]
 
 LANE = 128
 
-# Per-kernel diagonal unroll factors, bounded by VMEM (~16 MB/core): each
-# stream block is T x S x 128 fp32 per batch chunk, double-buffered.
-T_FWD = 8     # 3 streams
-T_BWD = 4     # 3 streams + 5 scratch planes
-T_AFWD = 4    # 5 streams
-T_ABWD = 2    # 6 streams + 10 scratch planes
-T_EA = 4      # 3-4 streams
+# Preferred per-kernel diagonal unroll factors; each wrapper shrinks its T
+# until the double-buffered stream blocks fit the VMEM budget.
+T_FWD = 8
+T_BWD = 8
+T_AFWD = 8
+T_ABWD = 4
+T_EA = 8
 
-# Storage dtype for the value streams Vs/Vds (None = input dtype).  bf16
-# halves the dominant HBM traffic; compute stays fp32.  Opt-in
-# (bench/inference); tests pin fp32.
-V_DTYPE = None
+VMEM_BUDGET = int(_os.environ.get("DEEPBLAST_VMEM_BUDGET", 14 * 2**20))
+
+# Storage dtypes (None = compute dtype).  bf16 halves stream DMA traffic;
+# compute stays fp32 in-kernel.  Opt-in (bench/inference); tests and
+# training pin fp32.
+STREAM_DTYPE = None   # skewed potential/tangent streams th_s/A_s/Zt_s/Za_s
+D_DTYPE = None        # difference residual streams Dx/Dm/Dxd/Dmd
+E_DTYPE = None        # expectation streams E / Ed / EA / EdA
 
 
 def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _cdt(*dtypes):
+    """In-kernel compute dtype: fp32 unless inputs are wider."""
+    return jnp.promote_types(jnp.result_type(*dtypes), jnp.float32)
+
+
 # Sublane-shift lowering (both probed correct on-chip; perf-selectable via
 # DEEPBLAST_SHIFT=roll for measurement, see scripts/profile_bm.py)
-import os as _os  # noqa: E402
-
 SHIFT_CONCAT = _os.environ.get("DEEPBLAST_SHIFT", "concat") == "concat"
 
 
@@ -129,23 +141,12 @@ def _masks(iarr, d, ln, lm, lo):
     return valid, term
 
 
-def _q_row(operator, a_q, vs_hi, vs_lo):
-    """Soft-argmax of one diagonal row from the delayed value stream:
-    ``vs_hi = Vs[rq] (= V[rq-1])``, ``vs_lo = Vs[rq-1] (= V[rq-2])``."""
-    xarg = a_q + _shr(vs_hi)
-    marg = _shr(vs_lo)
-    yarg = a_q + vs_hi
-    _, qs = smooth.max3(operator, xarg, marg, yarg)
+def _q_row(operator, dx, dm):
+    """Soft-argmax of one row from its difference streams (shift
+    invariance of the operator: Q = softargmax(xarg, marg, yarg) =
+    softargmax(Dx, Dm, 0))."""
+    _, qs = smooth.max3(operator, dx, dm, jnp.zeros_like(dx))
     return qs
-
-
-def _qd_row(operator, qs, za_q, vds_hi, vds_lo):
-    """Soft-argmax tangent of one row (operator Hessian-product) from the
-    delayed tangent stream."""
-    xargd = za_q + _shr(vds_hi)
-    margd = _shr(vds_lo)
-    yargd = za_q + vds_hi
-    return smooth.hessian3(operator, qs, (xargd, margd, yargd))
 
 
 def _pad_vec(v, Bp, dtype):
@@ -173,27 +174,43 @@ def _block_spec(T, S, rowfn):
         memory_space=pltpu.VMEM)
 
 
+def _fit_T(T0, K2, S, dtypes):
+    """Largest T <= T0 dividing K2 whose double-buffered stream blocks fit
+    the VMEM budget (``dtypes``: one entry per stream operand/output)."""
+    per_row = sum(S * LANE * jnp.dtype(d).itemsize for d in dtypes)
+    T = T0
+    while T > 1 and (K2 % T != 0 or 2 * T * per_row > VMEM_BUDGET):
+        T //= 2
+    return max(T, 1) if K2 % max(T, 1) == 0 else 1
+
+
+VMEM_LIMIT = int(_os.environ.get("DEEPBLAST_VMEM_LIMIT", 64 * 2**20))
+
+
 def _compiler_params():
     return pltpu.CompilerParams(
-        dimension_semantics=("arbitrary", "arbitrary"))
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def skew_input(x):
     """Relayout a natural ``(B, N, M)`` potential into the batch-minor
-    diagonal stream ``(K2, S, Bp)`` (see skew_bm)."""
-    return skew_bm(x)
+    diagonal stream ``(K2, S, Bp)`` (see skew_bm), stored in
+    ``STREAM_DTYPE`` when set."""
+    return skew_bm(x, out_dtype=STREAM_DTYPE)
 
 
 def unskew_output(s, N, M, B):
-    return unskew_bm(s, N, M, B)
+    """Inverse relayout; always emits full-precision natural output."""
+    return unskew_bm(s, N, M, B, out_dtype=_cdt(s.dtype))
 
 
 # ---------------------------------------------------------------------------
-# forward: (th, A) -> (vt, Vs)
+# forward: (th, A) -> (vt, (Dx, Dm))
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
-                vt_ref, vs_ref, v1, v2, *, lo, operator, T):
+                vt_ref, dx_ref, dm_ref, v1, v2, *, lo, operator, T):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -208,18 +225,18 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     lm = lm_ref[...]
     v1v = v1[...]
     v2v = v2[...]
-    vdt = vs_ref.dtype
+    dt = v1v.dtype
+    ddt = dx_ref.dtype
     acc = jnp.zeros((1, LANE), vt_ref.dtype)
     for t in range(T):
         d = k * T + t + 2
-        # delayed V-stream write: Vs[r] = V[r-1] = the incoming carry
-        vs_ref[t] = v1v.astype(vdt)
-        ash = ad_ref[t]
-        xarg = ash + _shr(v1v)
-        marg = _shr(v2v)
-        yarg = ash + v1v
-        val, _ = smooth.max3(operator, xarg, marg, yarg)
-        vnew = th_ref[t] + val
+        ash = ad_ref[t].astype(dt)
+        dx = _shr(v1v) - v1v                  # xarg - yarg (A cancels)
+        dm = _shr(v2v) - ash - v1v            # marg - yarg
+        dx_ref[t] = dx.astype(ddt)
+        dm_ref[t] = dm.astype(ddt)
+        rel, _ = smooth.max3(operator, dx, dm, jnp.zeros_like(dx))
+        vnew = th_ref[t].astype(dt) + ash + v1v + rel
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), vnew.dtype)
         vnew = jnp.where(valid, vnew, zero)
@@ -233,30 +250,31 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
 
 def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
     """``th``/``ad`` are batch-minor streams from :func:`skew_input`.
-    Returns ``(vt, aux)`` with ``aux = (Vs, ad)`` — the delayed value
-    stream plus the gap stream the reverse passes recompute Q from."""
+    Returns ``(vt, aux)`` with ``aux = (Dx, Dm)`` — the per-row transition
+    argument differences every reverse pass recomputes Q from."""
     K2, S, Bp = th.shape
-    dtype = th.dtype
-    T = T_FWD if K2 % T_FWD == 0 else 1
+    dtype = _cdt(th.dtype)
+    ddt = D_DTYPE or dtype
+    T = _fit_T(T_FWD, K2, S, [th.dtype, ad.dtype, ddt, ddt])
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][0]
 
-    vdt = V_DTYPE or dtype
     kern = functools.partial(_fwd_kernel, lo=lo, operator=operator, T=T)
     blk = functools.partial(_block_spec, T, S)
-    vt, vs = pl.pallas_call(
+    vt, dxs, dms = pl.pallas_call(
         kern,
         grid=(Bp // LANE, K2 // T),
         in_specs=[
             _len_spec(), _len_spec(),
             blk(lambda k: k), blk(lambda k: k),
         ],
-        out_specs=[_vt_spec(), blk(lambda k: k)],
+        out_specs=[_vt_spec(), blk(lambda k: k), blk(lambda k: k)],
         out_shape=[
             jax.ShapeDtypeStruct((8, Bp), dtype),
-            jax.ShapeDtypeStruct((K2, S, Bp), vdt),
+            jax.ShapeDtypeStruct((K2, S, Bp), ddt),
+            jax.ShapeDtypeStruct((K2, S, Bp), ddt),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, LANE), dtype),
@@ -265,24 +283,30 @@ def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(lnp, lmp, th, ad)
-    return vt[0, :B], (vs, ad)
+    return vt[0, :B], (dxs, dms)
 
 
 # ---------------------------------------------------------------------------
-# backward (expected alignment), recomputing Q from (Vs, A)
+# backward (expected alignment), recomputing Q from (Dx, Dm)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(ln_ref, lm_ref, et_ref, vs_ref, ad_ref,
-                e_ref, e1, e2, cvs0, ca0, cqm, *, lo, operator, T, KB):
-    """T diagonals (descending) per step.  Fresh soft-argmax rows
-    ``Q[r0+1 .. r0+T]`` are recomputed from the delayed value stream; the
-    above block's row-0 planes of Vs/A and its lowest fresh ``qm`` are
-    carried in scratch."""
+def _bwd_kernel(ln_ref, lm_ref, et_ref, dx_ref, dm_ref,
+                e_ref, *rest, lo, operator, T, KB, want_gap):
+    """T diagonals (descending) per step.  Row ``r`` needs ``Q[r+1]`` and
+    ``Q[r+2]``'s middle component: rows above the block top are carried as
+    the previous (higher) block's row-0 difference planes + its lowest
+    fresh ``qm``.  With ``want_gap`` the gap expectation
+    ``EA[r] = E[r] * (Qx[r] + Qy[r])`` is fused in (Q[r] recomputed from
+    the in-block planes — compute is free under the stream DMA)."""
+    if want_gap:
+        ea_ref, e1, e2, cdx, cdm, cqm = rest
+    else:
+        e1, e2, cdx, cdm, cqm = rest
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
-        for ref in (e1, e2, cvs0, ca0, cqm):
+        for ref in (e1, e2, cdx, cdm, cqm):
             ref[...] = jnp.zeros_like(ref)
 
     S = e1.shape[0]
@@ -293,39 +317,44 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, vs_ref, ad_ref,
     e1v = e1[...]
     e2v = e2[...]
     dt = e1v.dtype
-    pvs0 = cvs0[...].astype(dt)
-    pa0 = ca0[...]
+    pdx = cdx[...].astype(dt)
+    pdm = cdm[...].astype(dt)
     qm2 = cqm[...]
     r0 = (KB - 1 - kk) * T
     for lt in reversed(range(T)):
         d = r0 + lt + 2
         last = lt == T - 1
-        vs_hi = pvs0 if last else vs_ref[lt + 1].astype(dt)
-        vs_lo = vs_ref[lt].astype(dt)
-        a_q = pa0 if last else ad_ref[lt + 1]
-        qx, qm, qy = _q_row(operator, a_q, vs_hi, vs_lo)
+        dxq = pdx if last else dx_ref[lt + 1].astype(dt)
+        dmq = pdm if last else dm_ref[lt + 1].astype(dt)
+        qx, qm, qy = _q_row(operator, dxq, dmq)
         enew = _shl(qx * e1v) + _shl(qm2 * e2v) + qy * e1v
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), enew.dtype)
         enew = jnp.where(valid, enew, zero)
         enew = enew + jnp.where(term, et, zero)
-        e_ref[lt] = enew
+        e_ref[lt] = enew.astype(e_ref.dtype)
+        if want_gap:
+            qxh, _, qyh = _q_row(operator, dx_ref[lt].astype(dt),
+                                 dm_ref[lt].astype(dt))
+            ea_ref[lt] = (enew * (qxh + qyh)).astype(ea_ref.dtype)
         e2v = e1v
         e1v = enew
         qm2 = qm
     e1[...] = e1v
     e2[...] = e2v
-    cvs0[...] = vs_ref[0]
-    ca0[...] = ad_ref[0]
+    cdx[...] = dx_ref[0]
+    cdm[...] = dm_ref[0]
     cqm[...] = qm2
 
 
 def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
                 want_gap=False, nm=None):
-    vs, ad = aux
-    K2, S, Bp = vs.shape
-    dtype = ad.dtype
-    T = T_BWD if K2 % T_BWD == 0 else 1
+    dxs, dms = aux
+    K2, S, Bp = dxs.shape
+    dtype = _cdt(Et.dtype)
+    edt = E_DTYPE or dtype
+    T = _fit_T(T_BWD, K2, S,
+               [dxs.dtype, dms.dtype, edt] + ([edt] if want_gap else []))
     B = Et.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
@@ -334,35 +363,37 @@ def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
     KB = K2 // T
 
     kern = functools.partial(_bwd_kernel, lo=lo, operator=operator,
-                             T=T, KB=KB)
+                             T=T, KB=KB, want_gap=want_gap)
     blk = functools.partial(_block_spec, T, S)
     rev = lambda k: KB - 1 - k  # noqa: E731
-    (Ediag,) = pl.pallas_call(
+    n_out = 2 if want_gap else 1
+    out = pl.pallas_call(
         kern,
         grid=(Bp // LANE, KB),
         in_specs=[
             _len_spec(), _len_spec(), _len_spec(),
             blk(rev), blk(rev),
         ],
-        out_specs=[blk(rev)],
-        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
+        out_specs=[blk(rev)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), edt)] * n_out,
         scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 2
-        + [pltpu.VMEM((S, LANE), vs.dtype)]
-        + [pltpu.VMEM((S, LANE), dtype)] * 2,
+        + [pltpu.VMEM((S, LANE), dxs.dtype),
+           pltpu.VMEM((S, LANE), dms.dtype),
+           pltpu.VMEM((S, LANE), dtype)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(lnp, lmp, etp, vs, ad)
-    EA = (gap_expectation_bm(Ediag, aux, operator=operator)
-          if want_gap else None)
-    return Ediag, EA
+    )(lnp, lmp, etp, dxs, dms)
+    if want_gap:
+        return out[0], out[1]
+    return out[0], None
 
 
 # ---------------------------------------------------------------------------
-# adjoint forward (JVP of forward): (aux, Zt, Za) -> (vtd, Vds)
+# adjoint forward (JVP of forward): (aux, Zt, Za) -> (vtd, (Dxd, Dmd))
 # ---------------------------------------------------------------------------
 
-def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, vs_ref, ad_ref,
-                    vtd_ref, vds_ref, vd1, vd2, cvsl,
+def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, dx_ref, dm_ref,
+                    vtd_ref, dxd_ref, dmd_ref, vd1, vd2,
                     *, lo, operator, T):
     k = pl.program_id(1)
 
@@ -370,7 +401,6 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, vs_ref, ad_ref,
     def _():
         vd1[...] = jnp.zeros_like(vd1)
         vd2[...] = jnp.zeros_like(vd2)
-        cvsl[...] = jnp.zeros_like(cvsl)
         vtd_ref[...] = jnp.zeros_like(vtd_ref)
 
     S = vd1.shape[0]
@@ -380,20 +410,20 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, vs_ref, ad_ref,
     vd1v = vd1[...]
     vd2v = vd2[...]
     dt = vd1v.dtype
-    vs_below = cvsl[...].astype(dt)                  # Vs[r0-1]
-    vdt = vds_ref.dtype
+    ddt = dxd_ref.dtype
     acc = jnp.zeros((1, LANE), vtd_ref.dtype)
     for t in range(T):
         d = k * T + t + 2
-        vds_ref[t] = vd1v.astype(vdt)
-        vs_hi = vs_ref[t].astype(dt)                 # Vs[r] = V[r-1]
-        vs_lo = vs_below if t == 0 else vs_ref[t - 1].astype(dt)
-        qx, qm, qy = _q_row(operator, ad_ref[t], vs_hi, vs_lo)
-        zash = za_ref[t]
-        xargd = zash + _shr(vd1v)
-        margd = _shr(vd2v)
-        yargd = zash + vd1v
-        vdnew = zt_ref[t] + qx * xargd + qm * margd + qy * yargd
+        qx, qm, _ = _q_row(operator, dx_ref[t].astype(dt),
+                           dm_ref[t].astype(dt))
+        zash = za_ref[t].astype(dt)
+        dxd = _shr(vd1v) - vd1v               # xargd - yargd (Za cancels)
+        dmd = _shr(vd2v) - zash - vd1v        # margd - yargd
+        dxd_ref[t] = dxd.astype(ddt)
+        dmd_ref[t] = dmd.astype(ddt)
+        # q is a probability vector, so the tangent recurrence telescopes:
+        # qx*xargd + qm*margd + qy*yargd = yargd + qx*Dxd + qm*Dmd
+        vdnew = zt_ref[t].astype(dt) + zash + vd1v + qx * dxd + qm * dmd
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), vdnew.dtype)
         vdnew = jnp.where(valid, vdnew, zero)
@@ -403,24 +433,24 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, vs_ref, ad_ref,
     vtd_ref[...] += acc
     vd2[...] = vd2v
     vd1[...] = vd1v
-    cvsl[...] = vs_ref[T - 1]
 
 
 def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
                        operator="softmax", nm=None):
-    vs, ad = aux
+    dxs, dms = aux
     K2, S, Bp = zt.shape
-    dtype = zt.dtype
-    T = T_AFWD if K2 % T_AFWD == 0 else 1
+    dtype = _cdt(zt.dtype)
+    ddt = D_DTYPE or dtype
+    T = _fit_T(T_AFWD, K2, S,
+               [zt.dtype, za.dtype, dxs.dtype, dms.dtype, ddt, ddt])
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][2]
 
-    vdt = V_DTYPE or dtype
     kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator, T=T)
     blk = functools.partial(_block_spec, T, S)
-    vtd, vds = pl.pallas_call(
+    vtd, dxds, dmds = pl.pallas_call(
         kern,
         grid=(Bp // LANE, K2 // T),
         in_specs=[
@@ -428,36 +458,41 @@ def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
             blk(lambda k: k), blk(lambda k: k),
             blk(lambda k: k), blk(lambda k: k),
         ],
-        out_specs=[_vt_spec(), blk(lambda k: k)],
+        out_specs=[_vt_spec(), blk(lambda k: k), blk(lambda k: k)],
         out_shape=[
             jax.ShapeDtypeStruct((8, Bp), dtype),
-            jax.ShapeDtypeStruct((K2, S, Bp), vdt),
+            jax.ShapeDtypeStruct((K2, S, Bp), ddt),
+            jax.ShapeDtypeStruct((K2, S, Bp), ddt),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, LANE), dtype),
             pltpu.VMEM((S, LANE), dtype),
-            pltpu.VMEM((S, LANE), vs.dtype),
         ],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(lnp, lmp, zt, za, vs, ad)
-    return vtd[0, :B], (vds, za)
+    )(lnp, lmp, zt, za, dxs, dms)
+    return vtd[0, :B], (dxds, dmds)
 
 
 # ---------------------------------------------------------------------------
-# adjoint backward, recomputing Q and Qd from (Vs, A) / (Vds, Za)
+# adjoint backward, recomputing Q from (Dx, Dm) and Qd from (Dxd, Dmd)
 # ---------------------------------------------------------------------------
 
 def _adj_bwd_kernel(ln_ref, lm_ref,
-                    vs_ref, ad_ref, vds_ref, za_ref, e_ref,
-                    ed_ref, ed1, ed2, e1, e2,
-                    cvs0, ca0, cqm, cvds0, cza0, cqdm,
+                    dx_ref, dm_ref, dxd_ref, dmd_ref, e_ref,
+                    ed_ref, eda_ref, ed1, ed2, e1, e2,
+                    cdx, cdm, cdxd, cdmd, cqm, cqdm,
                     *, lo, operator, T, KB):
+    """Descending adjoint recurrence with the gap adjoint fused in:
+    ``EdA[r] = Ed[r]*(Qx[r]+Qy[r]) + E[r]*(Qdx[r]+Qdy[r])`` recomputes
+    Q[r]/Qd[r] from the in-block planes (a second max3+hessian3 per row —
+    free under the stream DMA, and it saves the standalone 6-stream
+    gap-adjoint kernel entirely)."""
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
-        for ref in (ed1, ed2, e1, e2, cvs0, ca0, cqm, cvds0, cza0, cqdm):
+        for ref in (ed1, ed2, e1, e2, cdx, cdm, cdxd, cdmd, cqm, cqdm):
             ref[...] = jnp.zeros_like(ref)
 
     S = ed1.shape[0]
@@ -469,56 +504,68 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
     e1v = e1[...]
     e2v = e2[...]
     dt = e1v.dtype
-    pvs0 = cvs0[...].astype(dt)
-    pa0 = ca0[...]
-    pvds0 = cvds0[...].astype(dt)
-    pza0 = cza0[...]
+    pdx = cdx[...].astype(dt)
+    pdm = cdm[...].astype(dt)
+    pdxd = cdxd[...].astype(dt)
+    pdmd = cdmd[...].astype(dt)
     qm2 = cqm[...]
     qdm2 = cqdm[...]
     r0 = (KB - 1 - kk) * T
     for lt in reversed(range(T)):
         d = r0 + lt + 2
         last = lt == T - 1
-        vs_hi = pvs0 if last else vs_ref[lt + 1].astype(dt)
-        vs_lo = vs_ref[lt].astype(dt)
-        a_q = pa0 if last else ad_ref[lt + 1]
-        qs = _q_row(operator, a_q, vs_hi, vs_lo)
+        dxq = pdx if last else dx_ref[lt + 1].astype(dt)
+        dmq = pdm if last else dm_ref[lt + 1].astype(dt)
+        qs = _q_row(operator, dxq, dmq)
         qx, qm, qy = qs
-        vds_hi = pvds0 if last else vds_ref[lt + 1].astype(dt)
-        vds_lo = vds_ref[lt].astype(dt)
-        za_q = pza0 if last else za_ref[lt + 1]
-        qdx, qdm, qdy = _qd_row(operator, qs, za_q, vds_hi, vds_lo)
+        dxdq = pdxd if last else dxd_ref[lt + 1].astype(dt)
+        dmdq = pdmd if last else dmd_ref[lt + 1].astype(dt)
+        qdx, qdm, qdy = smooth.hessian3(
+            operator, qs, (dxdq, dmdq, jnp.zeros_like(dxdq)))
         ednew = (_shl(qdx * e1v + qx * ed1v)
                  + _shl(qdm2 * e2v + qm2 * ed2v)
                  + qdy * e1v + qy * ed1v)
         valid, _ = _masks(iarr, d, ln, lm, lo)
         ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
-        ed_ref[lt] = ednew
+        ed_ref[lt] = ednew.astype(ed_ref.dtype)
+        # fused gap adjoint for row lt (row-aligned Q/Qd recompute)
+        ehere = e_ref[lt].astype(dt)
+        qsh = _q_row(operator, dx_ref[lt].astype(dt),
+                     dm_ref[lt].astype(dt))
+        qdxh, _, qdyh = smooth.hessian3(
+            operator, qsh,
+            (dxd_ref[lt].astype(dt), dmd_ref[lt].astype(dt),
+             jnp.zeros_like(ednew)))
+        eda_ref[lt] = (ednew * (qsh[0] + qsh[2])
+                       + ehere * (qdxh + qdyh)).astype(eda_ref.dtype)
         ed2v = ed1v
         ed1v = ednew
         e2v = e1v
-        e1v = e_ref[lt]
+        e1v = ehere
         qm2 = qm
         qdm2 = qdm
     ed1[...] = ed1v
     ed2[...] = ed2v
     e1[...] = e1v
     e2[...] = e2v
-    cvs0[...] = vs_ref[0]
-    ca0[...] = ad_ref[0]
+    cdx[...] = dx_ref[0]
+    cdm[...] = dm_ref[0]
+    cdxd[...] = dxd_ref[0]
+    cdmd[...] = dmd_ref[0]
     cqm[...] = qm2
-    cvds0[...] = vds_ref[0]
-    cza0[...] = za_ref[0]
     cqdm[...] = qdm2
 
 
 def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
                         operator="softmax", nm=None):
-    vs, ad = aux
-    vds, za = adj_aux
-    K2, S, Bp = ad.shape
-    dtype = Ediag.dtype
-    T = T_ABWD if K2 % T_ABWD == 0 else 1
+    dxs, dms = aux
+    dxds, dmds = adj_aux
+    K2, S, Bp = dxs.shape
+    dtype = _cdt(Ediag.dtype)
+    edt = E_DTYPE or dtype
+    T = _fit_T(T_ABWD, K2, S,
+               [dxs.dtype, dms.dtype, dxds.dtype, dmds.dtype,
+                Ediag.dtype, edt, edt])
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][3]
@@ -528,113 +575,23 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
                              T=T, KB=KB)
     blk = functools.partial(_block_spec, T, S)
     rev = lambda k: KB - 1 - k  # noqa: E731
-    (Eddiag,) = pl.pallas_call(
+    Eddiag, EdA = pl.pallas_call(
         kern,
         grid=(Bp // LANE, KB),
         in_specs=[_len_spec(), _len_spec(),
                   blk(rev), blk(rev), blk(rev), blk(rev), blk(rev)],
-        out_specs=[blk(rev)],
-        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
+        out_specs=[blk(rev), blk(rev)],
+        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), edt)] * 2,
         scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 4
-        + [pltpu.VMEM((S, LANE), vs.dtype)]
-        + [pltpu.VMEM((S, LANE), dtype)] * 2
-        + [pltpu.VMEM((S, LANE), vds.dtype)]
+        + [pltpu.VMEM((S, LANE), dxs.dtype),
+           pltpu.VMEM((S, LANE), dms.dtype),
+           pltpu.VMEM((S, LANE), dxds.dtype),
+           pltpu.VMEM((S, LANE), dmds.dtype)]
         + [pltpu.VMEM((S, LANE), dtype)] * 2,
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(lnp, lmp, vs, ad, vds, za, Ediag)
-    EdA = _gap_adjoint_bm(Ediag, Eddiag, aux, adj_aux, operator=operator)
+    )(lnp, lmp, dxs, dms, dxds, dmds, Ediag)
     return Eddiag, EdA
-
-
-# ---------------------------------------------------------------------------
-# gap expectations: EA = E*(Qx+Qy); EdA = Ed*(Qx+Qy) + E*(Qdx+Qdy)
-# (ascending streaming kernels; Q/Qd recomputed row-by-row)
-# ---------------------------------------------------------------------------
-
-def _ea_kernel(e_ref, vs_ref, ad_ref, ea_ref, cvsl, *, operator, T):
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        cvsl[...] = jnp.zeros_like(cvsl)
-
-    dt = e_ref.dtype
-    vs_below = cvsl[...].astype(dt)
-    for t in range(T):
-        vs_hi = vs_ref[t].astype(dt)
-        vs_lo = vs_below if t == 0 else vs_ref[t - 1].astype(dt)
-        qx, _, qy = _q_row(operator, ad_ref[t], vs_hi, vs_lo)
-        ea_ref[t] = e_ref[t] * (qx + qy)
-    cvsl[...] = vs_ref[T - 1]
-
-
-def gap_expectation_bm(Ediag, aux, *, operator="softmax"):
-    """``EA = E * (Qx + Qy)`` as a stream (the dVt/dA expectation)."""
-    vs, ad = aux
-    K2, S, Bp = ad.shape
-    dtype = Ediag.dtype
-    T = T_EA if K2 % T_EA == 0 else 1
-    kern = functools.partial(_ea_kernel, operator=operator, T=T)
-    blk = functools.partial(_block_spec, T, S)
-    (EA,) = pl.pallas_call(
-        kern,
-        grid=(Bp // LANE, K2 // T),
-        in_specs=[blk(lambda k: k)] * 3,
-        out_specs=[blk(lambda k: k)],
-        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
-        scratch_shapes=[pltpu.VMEM((S, LANE), vs.dtype)],
-        compiler_params=_compiler_params(),
-        interpret=_interpret(),
-    )(Ediag, vs, ad)
-    return EA
-
-
-def _eda_kernel(e_ref, ed_ref, vs_ref, ad_ref, vds_ref, za_ref,
-                eda_ref, cvsl, cvdsl, *, operator, T):
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        cvsl[...] = jnp.zeros_like(cvsl)
-        cvdsl[...] = jnp.zeros_like(cvdsl)
-
-    dt = e_ref.dtype
-    vs_below = cvsl[...].astype(dt)
-    vds_below = cvdsl[...].astype(dt)
-    for t in range(T):
-        vs_hi = vs_ref[t].astype(dt)
-        vs_lo = vs_below if t == 0 else vs_ref[t - 1].astype(dt)
-        qs = _q_row(operator, ad_ref[t], vs_hi, vs_lo)
-        vds_hi = vds_ref[t].astype(dt)
-        vds_lo = vds_below if t == 0 else vds_ref[t - 1].astype(dt)
-        qdx, _, qdy = _qd_row(operator, qs, za_ref[t], vds_hi, vds_lo)
-        eda_ref[t] = (ed_ref[t] * (qs[0] + qs[2])
-                      + e_ref[t] * (qdx + qdy))
-    cvsl[...] = vs_ref[T - 1]
-    cvdsl[...] = vds_ref[T - 1]
-
-
-def _gap_adjoint_bm(Ediag, Eddiag, aux, adj_aux, *, operator="softmax"):
-    vs, ad = aux
-    vds, za = adj_aux
-    K2, S, Bp = ad.shape
-    dtype = Ediag.dtype
-    T = T_ABWD if K2 % T_ABWD == 0 else 1
-    kern = functools.partial(_eda_kernel, operator=operator, T=T)
-    blk = functools.partial(_block_spec, T, S)
-    (EdA,) = pl.pallas_call(
-        kern,
-        grid=(Bp // LANE, K2 // T),
-        in_specs=[blk(lambda k: k)] * 6,
-        out_specs=[blk(lambda k: k)],
-        out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), dtype)],
-        scratch_shapes=[pltpu.VMEM((S, LANE), vs.dtype),
-                        pltpu.VMEM((S, LANE), vds.dtype)],
-        compiler_params=_compiler_params(),
-        interpret=_interpret(),
-    )(Ediag, Eddiag, vs, ad, vds, za)
-    return EdA
 
 
 def register(make_default=None):

@@ -63,9 +63,30 @@ CH = 8  # slot chunk = sublane quantum; BlockSpec middle dims require 8
 # measurement (scripts/profile_bm.py; override: DEEPBLAST_SKEW_STRATEGY):
 #   "store"  — per-slot 2D roll + middle-index store o_ref[:, t, :]
 #   "stack"  — per-slot 2D roll, jnp.stack(axis=1), whole-block store
+#   "auto"   — store for fp32, stack for 16-bit outputs: a (K2, 1, 128)
+#              bf16 store covers half a (16, 128) tile, so per-plane
+#              stores degrade to read-modify-write (measured 2.52 ms vs
+#              1.03 ms at the bench shape)
 import os as _os  # noqa: E402
 
-STRATEGY = _os.environ.get("DEEPBLAST_SKEW_STRATEGY", "store")
+STRATEGY = _os.environ.get("DEEPBLAST_SKEW_STRATEGY", "auto")
+
+
+def _strategy(odt):
+    if STRATEGY != "auto":
+        return STRATEGY
+    return "stack" if jnp.dtype(odt).itemsize < 4 else "store"
+
+# The "~16 MB VMEM" ceiling probed in round 1 was the compiler's *scoped*
+# vmem soft limit, not physical VMEM (v5e has 128 MiB/core): raise it so
+# fp32 roll buffers + bf16 stream blocks fit comfortably.
+VMEM_LIMIT = int(_os.environ.get("DEEPBLAST_VMEM_LIMIT", 64 * 2**20))
+
+
+def _params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def _ru(x, m):
@@ -103,6 +124,9 @@ def _skew_kernel(x_ref, o_ref, carry, *, K2, M, dtype):
     def _():
         carry[...] = jnp.zeros_like(carry)
 
+    # rolls run in the input dtype — traced pltpu.roll on bf16 crashes
+    # this toolchain's compiler (probed) — and the store casts to o_ref
+    odt = o_ref.dtype
     xb = x_ref[...]                                   # (128, CH, M)
     prev = carry[...]                                 # (M, 128)
     base = (g * CH + K2 - 1) % K2                     # (CH*g - 1) mod K2
@@ -110,11 +134,11 @@ def _skew_kernel(x_ref, o_ref, carry, *, K2, M, dtype):
 
     def rolled_plane(t, plane):
         buf = jnp.concatenate([plane, z], axis=0)     # (K2, 128)
-        return _roll(buf, (base + t) % K2, 0)
+        return _roll(buf, (base + t) % K2, 0).astype(odt)
 
     planes = [prev] + [jnp.swapaxes(xb[:, t, :], 0, 1) for t in range(CH - 1)]
     carry[...] = jnp.swapaxes(xb[:, CH - 1, :], 0, 1)
-    if STRATEGY == "stack":
+    if _strategy(odt) == "stack":
         o_ref[...] = jnp.stack(
             [rolled_plane(t, p) for t, p in enumerate(planes)], axis=1)
     else:
@@ -122,10 +146,17 @@ def _skew_kernel(x_ref, o_ref, carry, *, K2, M, dtype):
             o_ref[:, t, :] = rolled_plane(t, p)
 
 
-def skew_bm(x, Bp=None):
-    """Batch-minor diagonal relayout ``(B, N, M) -> (K2, S, Bp)``."""
+def skew_bm(x, Bp=None, out_dtype=None):
+    """Batch-minor diagonal relayout ``(B, N, M) -> (K2, S, Bp)``.
+
+    ``out_dtype`` selects the stream storage dtype (bf16 halves the HBM
+    write + every downstream DP-kernel read).  The shear rolls run in the
+    *input* dtype — traced pltpu.roll on bf16 crashes this toolchain's
+    compiler (probed) — and the store casts.
+    """
     B, N, M = x.shape
     Np, Mp, S, K2 = bm_dims(N, M)
+    odt = out_dtype or x.dtype
     if Bp is None:
         Bp = _ru(B, LANE)
     if (B, N) != (Bp, Np):
@@ -142,10 +173,9 @@ def skew_bm(x, Bp=None):
         out_specs=pl.BlockSpec(
             (K2, CH, LANE), lambda gb, g: (0, g, gb),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K2, S, Bp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((K2, S, Bp), odt),
         scratch_shapes=[pltpu.VMEM((M, LANE), x.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_params(),
         interpret=_interpret(),
     )(x)
 
@@ -157,14 +187,17 @@ def skew_bm(x, Bp=None):
 def _unskew_kernel(s_ref, side_ref, o_ref, carry, *, K2, Np, Mp, ng):
     g = pl.program_id(1)
     c = ng - 1 - g                                    # descending slot chunk
+    odt = o_ref.dtype
+    cdt = carry.dtype
 
     @pl.when(g == 0)
     def _():
-        # P-form plane of the top slot Np (static roll amount)
+        # P-form plane of the top slot Np (static roll amount); cast
+        # before the roll — rolls on bf16 crash this compiler (probed)
         amt = (K2 - (Np - 1)) % K2
-        carry[...] = _roll(side_ref[...], amt, 0)[:Mp]
+        carry[...] = _roll(side_ref[...].astype(cdt), amt, 0)[:Mp]
 
-    sb = s_ref[...]                                   # (K2, CH, 128)
+    sb = s_ref[...].astype(cdt)                       # (K2, CH, 128)
     carried = carry[...]                              # (Mp, 128), slot CH*c+CH
     base = (K2 + 1 - CH * c) % K2                     # K2 - (CH*c - 1)
 
@@ -175,19 +208,22 @@ def _unskew_kernel(s_ref, side_ref, o_ref, carry, *, K2, Np, Mp, ng):
     # out rows r = CH*c + u <- slot CH*c+u+1: u<CH-1 from this chunk,
     # u = CH-1 from the carry
     for u in range(CH - 1):
-        o_ref[:, u * Mp:(u + 1) * Mp] = jnp.swapaxes(plane(u + 1), 0, 1)
-    o_ref[:, (CH - 1) * Mp:CH * Mp] = jnp.swapaxes(carried, 0, 1)
+        o_ref[:, u * Mp:(u + 1) * Mp] = \
+            jnp.swapaxes(plane(u + 1), 0, 1).astype(odt)
+    o_ref[:, (CH - 1) * Mp:CH * Mp] = \
+        jnp.swapaxes(carried, 0, 1).astype(odt)
     carry[...] = plane(0)
 
 
-def unskew_bm(s, N, M, B):
+def unskew_bm(s, N, M, B, out_dtype=None):
     """Inverse batch-minor relayout: ``out[b, r, c] = s[r+c, r+1, b]``,
-    returning the first ``B`` pairs."""
+    returning the first ``B`` pairs (cast to ``out_dtype`` in-kernel)."""
     K2, S, Bp = s.shape
     Np, Mp, S2, K2b = bm_dims(N, M)
     if (S, K2) != (S2, K2b):
         raise ValueError(f"stream dims {s.shape} do not match bm_dims"
                          f"({N}, {M}) = {(K2b, S2)}")
+    odt = out_dtype or s.dtype
     ng = Np // CH
     side = s[:, Np, :]                                # (K2, Bp)
     kern = functools.partial(_unskew_kernel, K2=K2, Np=Np, Mp=Mp, ng=ng)
@@ -204,10 +240,10 @@ def unskew_bm(s, N, M, B):
         out_specs=pl.BlockSpec(
             (LANE, CH * Mp), lambda gb, g: (gb, ng - 1 - g),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, Np * Mp), s.dtype),
-        scratch_shapes=[pltpu.VMEM((Mp, LANE), s.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np * Mp), odt),
+        scratch_shapes=[pltpu.VMEM(
+            (Mp, LANE), jnp.promote_types(s.dtype, jnp.float32))],
+        compiler_params=_params(),
         interpret=_interpret(),
     )(s, side)
     out = out.reshape(Bp, Np, Mp)

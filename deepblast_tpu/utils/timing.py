@@ -29,34 +29,67 @@ def time_op(op, *args, reps=8, iters=5, warmup=1, probe=True):
     data-dependency (`_eps`) threaded between repetitions so XLA cannot
     collapse them.
 
-    With ``probe=True`` (default) the dependency reads only a 128-element
-    probe of each output leaf instead of summing it in full — a full sum
-    re-reads every output from HBM each repetition, which inflated
-    bandwidth-bound kernels by ~35% (round-2 finding).  Probe reads are
-    safe for pallas/custom-call outputs (the kernel always runs in full);
-    pass ``probe=False`` when timing pure-XLA elementwise ops that dead-code
-    elimination could otherwise shrink to the probed elements.
+    The ``reps`` repetitions are *independent*: each runs on its own
+    device copy of the operands (distinct XLA parameters, so CSE cannot
+    collapse them) and they execute back-to-back in one program — the
+    steady-state throughput a pipelined serving/training loop sees.
+    Chaining schemes measured worse than the truth here: ``x + _eps``
+    re-materialised the first operand every rep, and an
+    ``optimization_barrier`` on the carried operands forced a full copy
+    per scan step (~3.5 ms at the bench shapes; round-2 finding — the
+    probe scripts' chain decomposition pinned it).
+
+    With ``probe=True`` (default) only a 128-element probe of each output
+    leaf is consumed; safe for pallas/custom-call outputs (the kernel
+    always runs in full).  Pass ``probe=False`` when timing pure-XLA
+    elementwise ops that dead-code elimination could otherwise shrink to
+    the probed elements.
+
+    Device memory holds ``reps`` copies of the operands — size reps
+    accordingly for large operands (8 x 0.5 GB is fine on a 16 GB chip).
     """
 
-    @jax.jit
-    def repeated(*args):
-        def body(c, _):
-            out = op(*args, _eps=c * 1e-30)
-            leaves = jax.tree_util.tree_leaves(out)
-            if probe:
-                s = sum(jnp.sum(l.reshape(-1)[:128]).astype(jnp.float32)
-                        for l in leaves)
-            else:
-                s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-            return s * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return c
+    def readback(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        if probe:
+            return sum(jnp.sum(l.reshape(-1)[:128]).astype(jnp.float32)
+                       for l in leaves)
+        return sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
 
-    for _ in range(warmup):
-        float(repeated(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(repeated(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / reps
+    # distinct device buffers per rep (jnp.array(copy=True) => separate
+    # XLA parameters, identical values)
+    argsets = [args] + [
+        jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), args)
+        for _ in range(reps - 1)]
+
+    @jax.jit
+    def repeated(argsets):
+        tot = jnp.float32(0.0)
+        for a in argsets:
+            tot = tot + readback(op(*a, _eps=jnp.float32(0.0)))
+        return tot
+
+    @jax.jit
+    def null(argsets):
+        # same operand set, no kernels: measures dispatch + host RTT +
+        # probe overhead, subtracted from the full measurement below
+        tot = jnp.float32(0.0)
+        for a in argsets:
+            tot = tot + sum(
+                jnp.sum(l.reshape(-1)[:1]).astype(jnp.float32)
+                for l in jax.tree_util.tree_leaves(a))
+        return tot
+
+    def measure(fn):
+        for _ in range(warmup):
+            float(fn(argsets))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn(argsets))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_null = measure(null)
+    t_full = measure(repeated)
+    return max(t_full - t_null, 1e-9) / reps

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""On-chip validation of the benchmark configuration (VERDICT round-1
+weak item 1): at the exact bench shapes (B=256, 512x512) and the exact
+bench dtype opts (bf16 stream/difference/expectation storage), bound the
+expected-alignment error against the fp32 path and check greedy-traceback
+agreement.
+
+Prints one JSON line: {"max_E_err", "traceback_agreement", "pairs"}.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 2400 python scripts/bench_check.py
+"""
+
+import json
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/deepblast_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepblast_tpu.ops import dp as dp_ops
+from deepblast_tpu.ops import dp_bm
+
+B, N, M = 256, 512, 512
+CHECK_PAIRS = 16
+
+rng = np.random.default_rng(0)
+theta = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, jnp.float32)
+ln = jnp.full((B,), N, jnp.int32)
+lm = jnp.full((B,), M, jnp.int32)
+
+backend = "pallas_bm" if jax.default_backend() == "tpu" else "scan"
+
+
+def decode():
+    return np.asarray(dp_ops.expected_alignment(
+        theta, A, (ln, lm), mode="nw", backend=backend))
+
+
+E32 = decode()
+dp_bm.STREAM_DTYPE = dp_bm.D_DTYPE = dp_bm.E_DTYPE = jnp.bfloat16
+# the bench-config custom_vjp graph caches per (mode, operator, backend),
+# and the dtype globals are read at trace time: clear the builder cache
+from deepblast_tpu.ops.dp import _build  # noqa: E402
+_build.cache_clear()
+E16 = decode()
+
+err = float(np.max(np.abs(E16 - E32)))
+agree_frac = []
+for b in range(CHECK_PAIRS):
+    t32 = dp_ops.traceback(E32[b])
+    t16 = dp_ops.traceback(E16[b])
+    n = max(len(t32), len(t16))
+    agree_frac.append(sum(x == y for x, y in zip(t32, t16)) / n)
+
+result = {
+    "max_E_err": round(err, 5),
+    "traceback_agreement": round(float(np.mean(agree_frac)), 4),
+    "pairs": CHECK_PAIRS,
+}
+print(json.dumps(result))
+assert err < 2e-2, f"bf16 E error too large at bench scale: {err}"
+assert np.mean(agree_frac) > 0.95, f"traceback agreement {agree_frac}"
+print("PASS")

@@ -125,4 +125,33 @@ p1()
 p2()
 p3()
 p4()
+
+
+def time_copies():
+    """bf16 vs fp32 copy at the stream shape: distinguishes byte-bound
+    DMA (bf16 copy ~2x faster) from row-descriptor-bound DMA (no gain)."""
+    import functools
+    from deepblast_tpu.utils.timing import time_op
+
+    def copy_kernel(x_ref, o_ref, *, T):
+        o_ref[...] = x_ref[...]
+
+    for name, arr in (("copy_f32", x32), ("copy_bf16", x16)):
+        T = 8
+        blk = pl.BlockSpec((T, S, LANE), lambda b, k: (k, 0, b),
+                           memory_space=pltpu.VMEM)
+        f = pl.pallas_call(
+            functools.partial(copy_kernel, T=T),
+            grid=(BP // LANE, K2 // T), in_specs=[blk], out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((K2, S, BP), arr.dtype),
+        )
+        dt = time_op(
+            lambda a, _eps=0.0: f(a + jnp.asarray(_eps, a.dtype)), arr,
+            reps=8, iters=3)
+        gbs = 2 * arr.nbytes / dt / 1e9
+        results[name] = {"ms": round(dt * 1e3, 2), "GB/s": round(gbs)}
+        print(f"{name}: {dt*1e3:.2f} ms  ({gbs:.0f} GB/s eff)", flush=True)
+
+
+time_copies()
 print(results)

@@ -3,7 +3,8 @@
 bench config (B=256, 512x512, fp32).  Stages overlap differently in the
 real decode graph; these numbers guide tuning (see docs/PERF_NOTES.md).
 
-Env overrides: T_FWD, T_BWD, T_AFWD, T_ABWD, V_DTYPE=bf16, STAGES=...
+Env overrides: T_FWD, T_BWD, T_AFWD, T_ABWD, T_EA, STAGES=...,
+BF16=1 (bf16 stream/difference/expectation storage, the bench config)
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 590 python scripts/profile_bm.py
 """
@@ -25,8 +26,10 @@ from deepblast_tpu.utils.timing import time_op
 for name in ("T_FWD", "T_BWD", "T_AFWD", "T_ABWD", "T_EA"):
     if os.environ.get(name):
         setattr(dp_bm, name, int(os.environ[name]))
-if os.environ.get("V_DTYPE") == "bf16":
-    dp_bm.V_DTYPE = jnp.bfloat16
+if os.environ.get("BF16"):
+    dp_bm.D_DTYPE = jnp.bfloat16
+    dp_bm.STREAM_DTYPE = jnp.bfloat16
+    dp_bm.E_DTYPE = jnp.bfloat16
 
 B, N, M = 256, 512, 512
 rng = np.random.default_rng(0)
@@ -36,8 +39,8 @@ ln = jnp.full((B,), N, jnp.int32)
 lm = jnp.full((B,), M, jnp.int32)
 Et = jnp.ones((B,), jnp.float32)
 
-th_s = skew_bm(theta)
-A_s = skew_bm(A)
+th_s = dp_bm.skew_input(theta)
+A_s = dp_bm.skew_input(A)
 vt, aux = jax.jit(dp_bm.forward_bm, static_argnames=())(th_s, A_s, ln, lm)
 E_s, _ = dp_bm.backward_bm(Et, aux, ln, lm)
 vtd, adj_aux = dp_bm.adjoint_forward_bm(aux, th_s, A_s, ln, lm)
@@ -55,18 +58,19 @@ def run(name, fn, *args, reps=8):
     print(f"{name}: {dt*1e3:.2f} ms", flush=True)
 
 
-run("skew", lambda x, _eps=0.0: skew_bm(x + _eps), theta)
+run("skew", lambda x, _eps=0.0: dp_bm.skew_input(x), theta)
 run("fwd", lambda a, b, _eps=0.0:
-    dp_bm.forward_bm(a + _eps, b, ln, lm), th_s, A_s)
-run("bwd", lambda v, a, _eps=0.0:
-    dp_bm.backward_bm(Et, (v + _eps, a), ln, lm)[0], aux[0], A_s)
-run("unskew", lambda s, _eps=0.0: unskew_bm(s + _eps, N, M, B), E_s)
-run("afwd", lambda v, a, zt, za, _eps=0.0:
-    dp_bm.adjoint_forward_bm((v + _eps, a), zt, za, ln, lm),
-    aux[0], A_s, th_s, A_s)
-run("abwd", lambda e, v, a, vd, za, _eps=0.0:
-    dp_bm.adjoint_backward_bm(e + _eps, (v, a), (vd, za), ln, lm),
-    E_s, aux[0], A_s, adj_aux[0], A_s)
+    dp_bm.forward_bm(a, b, ln, lm), th_s, A_s)
+run("bwd", lambda dx, dm, _eps=0.0:
+    dp_bm.backward_bm(Et, (dx, dm), ln, lm)[0], *aux)
+run("unskew", lambda s, _eps=0.0:
+    unskew_bm(s, N, M, B, out_dtype=jnp.float32), E_s)
+run("afwd", lambda dx, dm, zt, za, _eps=0.0:
+    dp_bm.adjoint_forward_bm((dx, dm), zt, za, ln, lm),
+    *aux, th_s, A_s)
+run("abwd", lambda e, dx, dm, dxd, dmd, _eps=0.0:
+    dp_bm.adjoint_backward_bm(e, (dx, dm), (dxd, dmd), ln, lm),
+    E_s, *aux, *adj_aux)
 
 # end-to-end graphs through the dispatcher (the honest units: decode =
 # 2 skews + fwd + bwd + unskew; grad = decode + 2 skews + afwd + abwd +
@@ -77,14 +81,14 @@ dp_bm.register(make_default=True)
 
 
 def _decode(th, a, _eps=0.0):
-    return dp_ops.expected_alignment(th + _eps, a, (ln, lm), mode="nw")
+    return dp_ops.expected_alignment(th, a, (ln, lm), mode="nw")
 
 
 def _grad(th, a, _eps=0.0):
     def loss(t, g):
         E = dp_ops.expected_alignment(t, g, (ln, lm), mode="nw")
         return jnp.sum(E * E)
-    return jax.grad(loss, argnums=(0, 1))(th + _eps, a)
+    return jax.grad(loss, argnums=(0, 1))(th, a)
 
 
 run("decode", _decode, theta, A)
@@ -92,5 +96,5 @@ run("grad", _grad, theta, A)
 
 cfg = {k: getattr(dp_bm, k) for k in
        ("T_FWD", "T_BWD", "T_AFWD", "T_ABWD", "T_EA")}
-cfg["V_DTYPE"] = str(dp_bm.V_DTYPE)
+cfg["BF16"] = bool(os.environ.get("BF16"))
 print(json.dumps({"config": cfg, "ms": results}))
