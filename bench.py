@@ -40,15 +40,16 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     backend = "pallas_bm" if on_tpu else "scan"
     if on_tpu:
-        # The DP kernels are DMA-bound: bf16 storage for every stream
-        # halves the HBM traffic.  Residuals are O(1)-range transition
-        # differences, so bf16 costs ~5e-3 abs error on E (test-covered:
-        # tests/test_bf16_streams.py + scripts/bench_check.py on chip);
-        # compute stays fp32 in-kernel.
+        # The DP kernels are DMA-bound, so the residual (difference)
+        # streams store in bf16 — they are O(1)-range, costing ~4e-3 abs
+        # error on E with >98% greedy-traceback agreement at this scale
+        # (test-covered: tests/test_bf16_streams.py, and on chip at the
+        # exact bench shapes by scripts/bench_check.py).  Inputs and the
+        # E output stay fp32: quantizing those measurably changes decoded
+        # paths (see docs/PERF_NOTES.md round-2 dtype study), and the
+        # reference kernel is fp32 end-to-end.
         from deepblast_tpu.ops import dp_bm
-        dp_bm.STREAM_DTYPE = jnp.bfloat16
         dp_bm.D_DTYPE = jnp.bfloat16
-        dp_bm.E_DTYPE = jnp.bfloat16
     B, N, M = (256, 512, 512) if on_tpu else (8, 64, 64)
 
     rng = np.random.default_rng(0)

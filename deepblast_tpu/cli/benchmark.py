@@ -30,18 +30,18 @@ def run_config(B, N, M, mode, backend, depth, iters, reps=4):
     if depth == "fwd":
         def op(theta, A, _eps=0.0):
             return dp_ops.alignment_score(
-                theta + _eps, A, (ln, lm), mode=mode, backend=backend)
+                theta, A, (ln, lm), mode=mode, backend=backend)
     elif depth == "fwd+bwd":
         def op(theta, A, _eps=0.0):
             return dp_ops.expected_alignment(
-                theta + _eps, A, (ln, lm), mode=mode, backend=backend)
+                theta, A, (ln, lm), mode=mode, backend=backend)
     else:  # train: gradient through the decode (2nd-order path)
         def op(theta, A, _eps=0.0):
             def loss(t, a):
                 E = dp_ops.expected_alignment(
                     t, a, (ln, lm), mode=mode, backend=backend)
                 return jnp.sum(E * E)
-            return jax.grad(loss, argnums=(0, 1))(theta + _eps, A)
+            return jax.grad(loss, argnums=(0, 1))(theta, A)
 
     dt = time_op(op, theta, A, reps=reps, iters=iters)
     return dict(B=B, N=N, M=M, mode=mode, backend=backend, depth=depth,

@@ -40,11 +40,12 @@ def decode():
 
 
 E32 = decode()
-dp_bm.STREAM_DTYPE = dp_bm.D_DTYPE = dp_bm.E_DTYPE = jnp.bfloat16
-# the bench-config custom_vjp graph caches per (mode, operator, backend),
-# and the dtype globals are read at trace time: clear the builder cache
-from deepblast_tpu.ops.dp import _build  # noqa: E402
-_build.cache_clear()
+# the bench configuration: bf16 difference-residual storage only — the
+# round-2 dtype study (docs/PERF_NOTES.md) showed quantizing the input
+# streams shifts decoded paths (~83% agreement) and rounding the stored E
+# breaks near-tie traceback comparisons outright (~63%), while the
+# O(1)-range residuals are safe
+dp_bm.D_DTYPE = jnp.bfloat16
 E16 = decode()
 
 err = float(np.max(np.abs(E16 - E32)))
@@ -61,6 +62,6 @@ result = {
     "pairs": CHECK_PAIRS,
 }
 print(json.dumps(result))
-assert err < 2e-2, f"bf16 E error too large at bench scale: {err}"
-assert np.mean(agree_frac) > 0.95, f"traceback agreement {agree_frac}"
+assert err < 1e-2, f"bf16-D E error too large at bench scale: {err}"
+assert np.mean(agree_frac) > 0.97, f"traceback agreement {agree_frac}"
 print("PASS")

@@ -73,6 +73,29 @@ def test_bf16_decode_error_bounded_and_traceback_agrees(bf16_streams):
             f"{agree}/{max(len(t16), len(t32))}")
 
 
+def test_bench_config_d_only_agreement():
+    """The benchmark's exact dtype config (bf16 difference residuals,
+    fp32 inputs/outputs): tight error bound + near-perfect traceback
+    agreement.  The round-2 dtype study showed the other two knobs damage
+    the decoded paths (input quantization ~83% agreement, E-stream
+    rounding ~63% — bf16 ties break near-tie walk comparisons), so the
+    bench pins them to fp32; this test keeps that honest."""
+    theta, A, ln, lm = _problem(B=4, N=48, M=40, seed=2)
+    vt32, E32 = _decode(theta, A, ln, lm)
+    try:
+        dp_bm.D_DTYPE = jnp.bfloat16
+        vt16, E16 = _decode(theta, A, ln, lm)
+    finally:
+        dp_bm.D_DTYPE = None
+    err = np.max(np.abs(np.asarray(E16) - np.asarray(E32)))
+    assert err < 5e-3, f"bf16-D E error {err}"
+    for b in range(theta.shape[0]):
+        t16 = dp_mod.traceback(np.asarray(E16[b]))
+        t32 = dp_mod.traceback(np.asarray(E32[b]))
+        agree = sum(a == b2 for a, b2 in zip(t16, t32))
+        assert agree >= 0.97 * max(len(t16), len(t32))
+
+
 def test_bf16_streams_have_bf16_storage(bf16_streams):
     theta, A, ln, lm = _problem(B=2, N=12, M=12, seed=1)
     thetap = dp_bm.skew_input(theta)
