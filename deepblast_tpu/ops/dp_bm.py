@@ -299,14 +299,14 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, dx_ref, dm_ref,
     ``EA[r] = E[r] * (Qx[r] + Qy[r])`` is fused in (Q[r] recomputed from
     the in-block planes — compute is free under the stream DMA)."""
     if want_gap:
-        ea_ref, e1, e2, cdx, cdm, cqm = rest
+        ea_ref, e1, e2, cqx, cqm, cqy, cqm2 = rest
     else:
-        e1, e2, cdx, cdm, cqm = rest
+        e1, e2, cqx, cqm, cqy, cqm2 = rest
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
-        for ref in (e1, e2, cdx, cdm, cqm):
+        for ref in (e1, e2, cqx, cqm, cqy, cqm2):
             ref[...] = jnp.zeros_like(ref)
 
     S = e1.shape[0]
@@ -317,16 +317,19 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, dx_ref, dm_ref,
     e1v = e1[...]
     e2v = e2[...]
     dt = e1v.dtype
-    pdx = cdx[...].astype(dt)
-    pdm = cdm[...].astype(dt)
-    qm2 = cqm[...]
+    # Q of each row is evaluated ONCE, from its aligned in-block planes,
+    # and carried one iteration (row r's recurrence consumes Q[r+1] and
+    # Q[r+2]'s middle component) — the boundary rows above the block top
+    # carry as the already-computed q planes, and the zero init is
+    # harmless because those q's multiply E rows that are themselves 0.
+    q1 = (cqx[...], cqm[...], cqy[...])
+    qm2 = cqm2[...]
     r0 = (KB - 1 - kk) * T
     for lt in reversed(range(T)):
         d = r0 + lt + 2
-        last = lt == T - 1
-        dxq = pdx if last else dx_ref[lt + 1].astype(dt)
-        dmq = pdm if last else dm_ref[lt + 1].astype(dt)
-        qx, qm, qy = _q_row(operator, dxq, dmq)
+        qh = _q_row(operator, dx_ref[lt].astype(dt),
+                    dm_ref[lt].astype(dt))
+        qx, qm, qy = q1
         enew = _shl(qx * e1v) + _shl(qm2 * e2v) + qy * e1v
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), enew.dtype)
@@ -334,17 +337,15 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, dx_ref, dm_ref,
         enew = enew + jnp.where(term, et, zero)
         e_ref[lt] = enew.astype(e_ref.dtype)
         if want_gap:
-            qxh, _, qyh = _q_row(operator, dx_ref[lt].astype(dt),
-                                 dm_ref[lt].astype(dt))
-            ea_ref[lt] = (enew * (qxh + qyh)).astype(ea_ref.dtype)
+            ea_ref[lt] = (enew * (qh[0] + qh[2])).astype(ea_ref.dtype)
         e2v = e1v
         e1v = enew
         qm2 = qm
+        q1 = qh
     e1[...] = e1v
     e2[...] = e2v
-    cdx[...] = dx_ref[0]
-    cdm[...] = dm_ref[0]
-    cqm[...] = qm2
+    cqx[...], cqm[...], cqy[...] = q1
+    cqm2[...] = qm2
 
 
 def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
@@ -376,10 +377,7 @@ def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
         ],
         out_specs=[blk(rev)] * n_out,
         out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), edt)] * n_out,
-        scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 2
-        + [pltpu.VMEM((S, LANE), dxs.dtype),
-           pltpu.VMEM((S, LANE), dms.dtype),
-           pltpu.VMEM((S, LANE), dtype)],
+        scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 6,
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(lnp, lmp, etp, dxs, dms)
@@ -481,18 +479,21 @@ def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
 def _adj_bwd_kernel(ln_ref, lm_ref,
                     dx_ref, dm_ref, dxd_ref, dmd_ref, e_ref,
                     ed_ref, eda_ref, ed1, ed2, e1, e2,
-                    cdx, cdm, cdxd, cdmd, cqm, cqdm,
+                    cqx, cqm, cqy, cqdx, cqdm, cqdy, cqm2, cqdm2,
                     *, lo, operator, T, KB):
     """Descending adjoint recurrence with the gap adjoint fused in:
-    ``EdA[r] = Ed[r]*(Qx[r]+Qy[r]) + E[r]*(Qdx[r]+Qdy[r])`` recomputes
-    Q[r]/Qd[r] from the in-block planes (a second max3+hessian3 per row —
-    free under the stream DMA, and it saves the standalone 6-stream
-    gap-adjoint kernel entirely)."""
+    ``EdA[r] = Ed[r]*(Qx[r]+Qy[r]) + E[r]*(Qdx[r]+Qdy[r])``.  Q[r]/Qd[r]
+    are evaluated ONCE per row from its aligned in-block planes (for the
+    fused EdA write) and carried one iteration for the recurrence, which
+    consumes Q[r+1] and the middle components of Q[r+2]/Qd[r+2] — one
+    max3 + one hessian3 per row total, same as the unfused kernel, while
+    saving the standalone 6-stream gap-adjoint kernel."""
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
-        for ref in (ed1, ed2, e1, e2, cdx, cdm, cdxd, cdmd, cqm, cqdm):
+        for ref in (ed1, ed2, e1, e2,
+                    cqx, cqm, cqy, cqdx, cqdm, cqdy, cqm2, cqdm2):
             ref[...] = jnp.zeros_like(ref)
 
     S = ed1.shape[0]
@@ -504,56 +505,46 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
     e1v = e1[...]
     e2v = e2[...]
     dt = e1v.dtype
-    pdx = cdx[...].astype(dt)
-    pdm = cdm[...].astype(dt)
-    pdxd = cdxd[...].astype(dt)
-    pdmd = cdmd[...].astype(dt)
-    qm2 = cqm[...]
-    qdm2 = cqdm[...]
+    q1 = (cqx[...], cqm[...], cqy[...])
+    qd1 = (cqdx[...], cqdm[...], cqdy[...])
+    qm2 = cqm2[...]
+    qdm2 = cqdm2[...]
     r0 = (KB - 1 - kk) * T
     for lt in reversed(range(T)):
         d = r0 + lt + 2
-        last = lt == T - 1
-        dxq = pdx if last else dx_ref[lt + 1].astype(dt)
-        dmq = pdm if last else dm_ref[lt + 1].astype(dt)
-        qs = _q_row(operator, dxq, dmq)
-        qx, qm, qy = qs
-        dxdq = pdxd if last else dxd_ref[lt + 1].astype(dt)
-        dmdq = pdmd if last else dmd_ref[lt + 1].astype(dt)
-        qdx, qdm, qdy = smooth.hessian3(
-            operator, qs, (dxdq, dmdq, jnp.zeros_like(dxdq)))
+        qsh = _q_row(operator, dx_ref[lt].astype(dt),
+                     dm_ref[lt].astype(dt))
+        dxdh = dxd_ref[lt].astype(dt)
+        qdh = smooth.hessian3(
+            operator, qsh, (dxdh, dmd_ref[lt].astype(dt),
+                            jnp.zeros_like(dxdh)))
+        qx, qm, qy = q1
+        qdx, qdm, qdy = qd1
         ednew = (_shl(qdx * e1v + qx * ed1v)
                  + _shl(qdm2 * e2v + qm2 * ed2v)
                  + qdy * e1v + qy * ed1v)
         valid, _ = _masks(iarr, d, ln, lm, lo)
         ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
         ed_ref[lt] = ednew.astype(ed_ref.dtype)
-        # fused gap adjoint for row lt (row-aligned Q/Qd recompute)
         ehere = e_ref[lt].astype(dt)
-        qsh = _q_row(operator, dx_ref[lt].astype(dt),
-                     dm_ref[lt].astype(dt))
-        qdxh, _, qdyh = smooth.hessian3(
-            operator, qsh,
-            (dxd_ref[lt].astype(dt), dmd_ref[lt].astype(dt),
-             jnp.zeros_like(ednew)))
         eda_ref[lt] = (ednew * (qsh[0] + qsh[2])
-                       + ehere * (qdxh + qdyh)).astype(eda_ref.dtype)
+                       + ehere * (qdh[0] + qdh[2])).astype(eda_ref.dtype)
         ed2v = ed1v
         ed1v = ednew
         e2v = e1v
         e1v = ehere
         qm2 = qm
         qdm2 = qdm
+        q1 = qsh
+        qd1 = qdh
     ed1[...] = ed1v
     ed2[...] = ed2v
     e1[...] = e1v
     e2[...] = e2v
-    cdx[...] = dx_ref[0]
-    cdm[...] = dm_ref[0]
-    cdxd[...] = dxd_ref[0]
-    cdmd[...] = dmd_ref[0]
-    cqm[...] = qm2
-    cqdm[...] = qdm2
+    cqx[...], cqm[...], cqy[...] = q1
+    cqdx[...], cqdm[...], cqdy[...] = qd1
+    cqm2[...] = qm2
+    cqdm2[...] = qdm2
 
 
 def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
@@ -582,12 +573,7 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
                   blk(rev), blk(rev), blk(rev), blk(rev), blk(rev)],
         out_specs=[blk(rev), blk(rev)],
         out_shape=[jax.ShapeDtypeStruct((K2, S, Bp), edt)] * 2,
-        scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 4
-        + [pltpu.VMEM((S, LANE), dxs.dtype),
-           pltpu.VMEM((S, LANE), dms.dtype),
-           pltpu.VMEM((S, LANE), dxds.dtype),
-           pltpu.VMEM((S, LANE), dmds.dtype)]
-        + [pltpu.VMEM((S, LANE), dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((S, LANE), dtype)] * 12,
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(lnp, lmp, dxs, dms, dxds, dmds, Ediag)

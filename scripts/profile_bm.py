@@ -65,12 +65,13 @@ run("bwd", lambda dx, dm, _eps=0.0:
     dp_bm.backward_bm(Et, (dx, dm), ln, lm)[0], *aux)
 run("unskew", lambda s, _eps=0.0:
     unskew_bm(s, N, M, B, out_dtype=jnp.float32), E_s)
+# 4-6 stream operand sets: fewer rep copies so 8 x operands fit HBM
 run("afwd", lambda dx, dm, zt, za, _eps=0.0:
     dp_bm.adjoint_forward_bm((dx, dm), zt, za, ln, lm),
-    *aux, th_s, A_s)
+    *aux, th_s, A_s, reps=3)
 run("abwd", lambda e, dx, dm, dxd, dmd, _eps=0.0:
     dp_bm.adjoint_backward_bm(e, (dx, dm), (dxd, dmd), ln, lm),
-    E_s, *aux, *adj_aux)
+    E_s, *aux, *adj_aux, reps=3)
 
 # end-to-end graphs through the dispatcher (the honest units: decode =
 # 2 skews + fwd + bwd + unskew; grad = decode + 2 skews + afwd + abwd +
