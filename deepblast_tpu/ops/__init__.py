@@ -16,4 +16,5 @@ from deepblast_tpu.ops import dp_bm as _dp_bm
 from deepblast_tpu.ops import dp_pallas as _dp_pallas
 
 _dp_pallas.register(make_default=False)
+_dp_pallas.register_long()
 _dp_bm.register()

@@ -609,6 +609,53 @@ def _adjoint_backward_v2(E_s, aux, adj_aux, ln, lm, *, mode="nw",
     return Ed, EdA
 
 
+# ---------------------------------------------------------------------------
+# "pallas_long": the same DP kernels behind XLA pad+reshape relayouts.
+# The shear relayout kernels buffer a full (K2, L) window per pair in VMEM,
+# which cannot scale past ~len-2800 (at len 4096 the window is 138 MB
+# against the v5e's 128 MiB VMEM); the XLA layout ops scale to any length
+# at a modest cost, which the huge DP dominates anyway in this regime.
+# The XLA skew is exactly a slot shift away from the kernel stream layout:
+# skew(x)[d, b, i] = x[b, i, d-i]  ->  stream[d, b, s] = x[b, s-1, d+1-s].
+# ---------------------------------------------------------------------------
+
+def skew_input_long(x):
+    import jax.numpy as _jnp
+
+    from deepblast_tpu.ops.skew import skew as _xla_skew
+    B, N, M = x.shape
+    Bp = _round_up(B, _btile_for(B))
+    L = _round_up(N + 1, LANE)
+    K2 = _round_up(N + M - 1, DIAG_UNROLL)
+    z = _xla_skew(x)
+    return _jnp.pad(z, ((0, K2 - z.shape[0]), (0, Bp - B),
+                        (1, L - N - 1)))
+
+
+def unskew_output_long(s, N, M, B, mul=None):
+    from deepblast_tpu.ops.skew import unskew as _xla_unskew
+    K, Bp, L = s.shape
+    if mul:
+        q = mul[0][:K].astype(s.dtype)
+        for m in mul[1:]:
+            q = q + m[:K].astype(s.dtype)
+        s = s * q
+    return _xla_unskew(s, N, M, offset=1)[:B]
+
+
+def register_long():
+    """Register the long-sequence variant (never the default)."""
+    from deepblast_tpu.ops import dp
+    dp.register_backend("pallas_long", {
+        "skew": skew_input_long,
+        "unskew": unskew_output_long,
+        "forward": forward_pallas,
+        "backward": _backward_v2,
+        "adjoint_forward": adjoint_forward_pallas,
+        "adjoint_backward": _adjoint_backward_v2,
+    })
+
+
 def register(make_default=None):
     """Register the pallas backend with the DP dispatcher.
 

@@ -6,8 +6,8 @@ fixed grid; longer pairs simply cannot run).
 
 Layout note: at len 4096 the batch-minor backend's 128-lane batch padding
 is wasteful for the small batches that fit HBM, so this regime uses the
-round-1 ``pallas`` backend (slot-on-lanes streams, fp32) — the two
-backends cover complementary (B, L) regimes.
+``pallas_long`` backend (the slot-on-lanes DP kernels behind XLA
+relayouts, fp32) — the backends cover complementary (B, L) regimes.
 
 Prints one JSON line {"len", "batch", "ms_per_batch", "alignments_per_s"}.
 
@@ -27,7 +27,9 @@ from deepblast_tpu.ops import dp as dp_ops
 from deepblast_tpu.utils.timing import time_op
 
 B, N, M = 8, 4096, 4096
-backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+# pallas_long = the wavefront DP kernels behind XLA relayouts (the shear
+# kernels' full-(K2, L) VMEM window cannot scale past ~len-2800)
+backend = "pallas_long" if jax.default_backend() == "tpu" else "scan"
 if backend == "scan":
     B, N, M = 2, 256, 256  # CPU smoke config
 

@@ -150,3 +150,32 @@ def test_end_to_end_backend_parity():
     np.testing.assert_allclose(l_p, l_s, rtol=1e-5)
     np.testing.assert_allclose(g_p[0], g_s[0], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(g_p[1], g_s[1], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_long_backend_matches_scan():
+    """The long-sequence variant (XLA relayouts + pallas DP kernels) is
+    end-to-end consistent with the scan oracle, including second order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepblast_tpu.ops import dp as dp_mod
+
+    rng = np.random.default_rng(11)
+    B, N, M = 3, 24, 17
+    theta = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, jnp.float32)
+    ln = jnp.asarray([N, 9, 20]); lm = jnp.asarray([M, 8, 11])
+    W = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+
+    def loss(t, a, backend):
+        E = dp_mod.expected_alignment(t, a, (ln, lm), backend=backend)
+        return jnp.sum(E * W), E
+
+    (l_s, E_s), g_s = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(theta, A, "scan")
+    (l_p, E_p), g_p = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(theta, A, "pallas_long")
+    np.testing.assert_allclose(E_p, E_s, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g_p[0], g_s[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g_p[1], g_s[1], rtol=2e-5, atol=2e-5)
