@@ -47,8 +47,12 @@ def add_model_args(parser: argparse.ArgumentParser, require_pairs=True):
                         type=str, default="needleman-wunsch")
     parser.add_argument("--operator", type=str, default="softmax",
                         choices=["softmax", "sparsemax", "hardmax"])
+    from deepblast_tpu.ops.dp import _BACKENDS
     parser.add_argument("--backend", type=str, default=None,
-                        choices=[None, "scan", "pallas"])
+                        choices=[None, *_BACKENDS],
+                        help="DP kernel backend (default: the platform's "
+                        "registered default — pallas_bm on TPU, scan "
+                        "elsewhere)")
     parser.add_argument("--finetune", type=bool, default=False)
     parser.add_argument("--mask-gaps", type=bool, default=True)
     parser.add_argument("--scheduler", type=str, default="cosine")
@@ -77,6 +81,10 @@ def add_infra_args(parser: argparse.ArgumentParser):
                         help="matmul compute dtype for the heads/LM "
                         "(reference: scripts/deepblast-train:95-103); the "
                         "DP kernels always accumulate in fp32")
+    parser.add_argument("--dp-bf16-residuals", action="store_true",
+                        help="store the DP kernels' difference-residual "
+                        "streams in bf16 (TPU; ~30%% less DP HBM traffic, "
+                        "~0.4%% soft-argmax perturbation)")
     return parser
 
 
@@ -105,6 +113,7 @@ def config_from_args(args) -> DeepBLASTConfig:
         mask_gaps=bool(args.mask_gaps),
         seed=getattr(args, "seed", 0),
         precision=getattr(args, "precision", "32"),
+        dp_bf16_residuals=getattr(args, "dp_bf16_residuals", False),
         train_pairs=args.train_pairs,
         valid_pairs=args.valid_pairs,
         test_pairs=args.test_pairs,

@@ -83,6 +83,11 @@ class DeepBLASTConfig:
     # "32" | "bf16" | "16": head/LM matmul compute dtype (reference
     # --precision, scripts/deepblast-train:95-103); DP stays fp32.
     precision: str = "32"
+    # store the DP kernels' difference-residual streams in bf16
+    # (O(1)-range; ~0.4% relative soft-argmax perturbation in the reverse
+    # passes — the recurrences themselves stay fp32).  Cuts the DP's HBM
+    # traffic ~30% on TPU; no effect on the scan backend.
+    dp_bf16_residuals: bool = False
     # data
     train_pairs: Optional[str] = None
     valid_pairs: Optional[str] = None
@@ -142,6 +147,10 @@ class DeepBLAST:
         self.mesh = None
         self._train_step = None
         self._val_step = None
+        if config.dp_bf16_residuals:
+            # module-level knob read at trace time by the TPU kernels
+            from deepblast_tpu.ops import dp_bm
+            dp_bm.D_DTYPE = jnp.bfloat16
 
     # -- construction ------------------------------------------------------
 

@@ -32,6 +32,12 @@ model = T5Encoder(cfg)
 rng = np.random.default_rng(0)
 tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, L)), jnp.int32)
 params = jax.jit(model.init)(jax.random.key(0), tokens)
+if cfg.dtype == jnp.bfloat16:
+    # bf16 parameter storage — the serving config (converted HF weights
+    # load the same way); frees headroom for the timing harness's
+    # independent operand copies
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), params)
 n_params = sum(int(np.prod(p.shape))
                for p in jax.tree_util.tree_leaves(params))
 

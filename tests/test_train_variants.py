@@ -91,3 +91,21 @@ def test_validation_logging(tmp_path):
     state, history = model.fit(ds, ds, logger=logger)
     assert "val_perc_id" in history[-1]
     assert 0.0 <= history[-1]["val_perc_id"] <= 1.0
+
+
+def test_dp_bf16_residuals_trains_and_converges():
+    """--dp-bf16-residuals: training through bf16 difference-residual DP
+    storage converges like fp32 (the recurrences stay fp32; only the
+    reverse passes' recomputed soft-argmax sees the ~0.4% rounding)."""
+    import jax.numpy as jnp
+
+    from deepblast_tpu.ops import dp_bm
+    try:
+        cfg = DeepBLASTConfig(dp_bf16_residuals=True,
+                              backend="pallas_bm", **BASE)
+        assert dp_bm.D_DTYPE is None
+        model, state, history = _fit(cfg)
+        assert dp_bm.D_DTYPE == jnp.bfloat16
+        assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
+    finally:
+        dp_bm.D_DTYPE = None
