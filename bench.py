@@ -58,8 +58,14 @@ def main():
     ln = jnp.full((B,), N, jnp.int32)
     lm = jnp.full((B,), M, jnp.int32)
 
+    # The inference path: expected alignment in the backend-native stream
+    # layout, walked directly by traceback_stream on host — the unskew
+    # relayout is not part of the decode product path (the reference's
+    # serial-thread CUDA kernel has no relayouts either; parity of the
+    # resulting tracebacks is test-covered and re-checked on chip by
+    # scripts/bench_check.py).
     def decode(theta, A, _eps=0.0):
-        return dp_ops.expected_alignment(
+        return dp_ops.expected_alignment_stream(
             theta, A, (ln, lm), mode="nw", backend=backend)
 
     dt = time_op(decode, theta, A, reps=8 if on_tpu else 2, iters=5)

@@ -194,10 +194,23 @@ def _compiler_params():
 
 
 def skew_input(x):
-    """Relayout a natural ``(B, N, M)`` potential into the batch-minor
-    diagonal stream ``(K2, S, Bp)`` (see skew_bm), stored in
-    ``STREAM_DTYPE`` when set."""
-    return skew_bm(x, out_dtype=STREAM_DTYPE)
+    """Relayout a natural ``(B, N, M)`` potential into the *compact*
+    batch-minor diagonal stream ``(Mp, S, Bp)`` — rows folded mod ``Mp``
+    (see skew_bm: diagonals ``d`` and ``d + Mp`` have disjoint slot
+    windows, so the fold is collision-free and halves the skew's HBM
+    write at square shapes).  Stored in ``STREAM_DTYPE`` when set."""
+    return skew_bm(x, out_dtype=STREAM_DTYPE, compact=True)
+
+
+def _unfold_dims(th):
+    """Recover ``(K2, KBc)`` grid facts from a compact input stream
+    ``(Kc, S, Bp)`` produced by :func:`skew_input` (``Kc = Mp``,
+    ``S = Np + 8``): the DP grid still walks all ``K2`` true diagonal
+    rows; input block rows wrap mod ``KBc = Kc // T``."""
+    Kc, S, _ = th.shape
+    Np = S - 8
+    K2 = -(-(Np + Kc - 1) // 8) * 8
+    return K2
 
 
 def unskew_output(s, N, M, B):
@@ -249,13 +262,17 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
 
 
 def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
-    """``th``/``ad`` are batch-minor streams from :func:`skew_input`.
+    """``th``/``ad`` are *compact* batch-minor streams from
+    :func:`skew_input` (rows folded mod ``Kc``); the outputs walk the
+    full padded ``K2`` rows (DP write order forbids folding outputs).
     Returns ``(vt, aux)`` with ``aux = (Dx, Dm)`` — the per-row transition
     argument differences every reverse pass recomputes Q from."""
-    K2, S, Bp = th.shape
+    Kc, S, Bp = th.shape
+    K2 = _unfold_dims(th)
     dtype = _cdt(th.dtype)
     ddt = D_DTYPE or dtype
     T = _fit_T(T_FWD, K2, S, [th.dtype, ad.dtype, ddt, ddt])
+    KBc = Kc // T
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
@@ -268,7 +285,7 @@ def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
         grid=(Bp // LANE, K2 // T),
         in_specs=[
             _len_spec(), _len_spec(),
-            blk(lambda k: k), blk(lambda k: k),
+            blk(lambda k: k % KBc), blk(lambda k: k % KBc),
         ],
         out_specs=[_vt_spec(), blk(lambda k: k), blk(lambda k: k)],
         out_shape=[
@@ -436,11 +453,13 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, dx_ref, dm_ref,
 def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
                        operator="softmax", nm=None):
     dxs, dms = aux
-    K2, S, Bp = zt.shape
+    K2, S, Bp = dxs.shape
+    Kc = zt.shape[0]          # tangent streams are compact (skew_input)
     dtype = _cdt(zt.dtype)
     ddt = D_DTYPE or dtype
     T = _fit_T(T_AFWD, K2, S,
                [zt.dtype, za.dtype, dxs.dtype, dms.dtype, ddt, ddt])
+    KBc = Kc // T
     B = ln.shape[0]
     lnp = _pad_vec(ln, Bp, jnp.int32)
     lmp = _pad_vec(lm, Bp, jnp.int32)
@@ -453,7 +472,7 @@ def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
         grid=(Bp // LANE, K2 // T),
         in_specs=[
             _len_spec(), _len_spec(),
-            blk(lambda k: k), blk(lambda k: k),
+            blk(lambda k: k % KBc), blk(lambda k: k % KBc),
             blk(lambda k: k), blk(lambda k: k),
         ],
         out_specs=[_vt_spec(), blk(lambda k: k), blk(lambda k: k)],
@@ -592,4 +611,7 @@ def register(make_default=None):
         "backward": backward_bm,
         "adjoint_forward": adjoint_forward_bm,
         "adjoint_backward": adjoint_backward_bm,
+        # host accessor into the batch-minor E stream (skew_bm contract
+        # stream[d, s, b] = E[b, s-1, d+1-s]): cell (i, j) -> [i+j, i+1, b]
+        "stream_cell": lambda s, b, i, j: s[i + j, i + 1, b],
     }, make_default=make_default)

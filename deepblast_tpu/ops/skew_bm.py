@@ -117,7 +117,7 @@ def _roll(x, shift, axis):
 # skew: (B, N, M) -> (K2, S, Bp)
 # ---------------------------------------------------------------------------
 
-def _skew_kernel(x_ref, o_ref, carry, *, K2, M, dtype):
+def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype):
     g = pl.program_id(1)
 
     @pl.when(g == 0)
@@ -129,12 +129,12 @@ def _skew_kernel(x_ref, o_ref, carry, *, K2, M, dtype):
     odt = o_ref.dtype
     xb = x_ref[...]                                   # (128, CH, M)
     prev = carry[...]                                 # (M, 128)
-    base = (g * CH + K2 - 1) % K2                     # (CH*g - 1) mod K2
-    z = jnp.zeros((K2 - M, LANE), dtype)
+    base = (g * CH + KH - 1) % KH                     # (CH*g - 1) mod KH
+    z = jnp.zeros((KH - M, LANE), dtype) if KH > M else None
 
     def rolled_plane(t, plane):
-        buf = jnp.concatenate([plane, z], axis=0)     # (K2, 128)
-        return _roll(buf, (base + t) % K2, 0).astype(odt)
+        buf = plane if z is None else jnp.concatenate([plane, z], axis=0)
+        return _roll(buf, (base + t) % KH, 0).astype(odt)  # (KH, 128)
 
     planes = [prev] + [jnp.swapaxes(xb[:, t, :], 0, 1) for t in range(CH - 1)]
     carry[...] = jnp.swapaxes(xb[:, CH - 1, :], 0, 1)
@@ -146,22 +146,32 @@ def _skew_kernel(x_ref, o_ref, carry, *, K2, M, dtype):
             o_ref[:, t, :] = rolled_plane(t, p)
 
 
-def skew_bm(x, Bp=None, out_dtype=None):
+def skew_bm(x, Bp=None, out_dtype=None, compact=False):
     """Batch-minor diagonal relayout ``(B, N, M) -> (K2, S, Bp)``.
 
     ``out_dtype`` selects the stream storage dtype (bf16 halves the HBM
     write + every downstream DP-kernel read).  The shear rolls run in the
     *input* dtype — traced pltpu.roll on bf16 crashes this toolchain's
     compiler (probed) — and the store casts.
+
+    ``compact=True`` folds the stream rows mod ``Mp`` into ``(Mp, S, Bp)``
+    — halving the write at square shapes.  Diagonals ``d`` and ``d + Mp``
+    have *disjoint* slot windows (``s <= d+1`` vs ``s >= d+2`` whenever
+    ``Mp >= M``), so the fold is collision-free; consumers index row
+    ``d mod Mp`` and, as ever, must mask to the valid region (the foreign
+    diagonal's cells are the "finite garbage" of the layout contract).
+    The fold is cyclic-roll-native: rolling the M data rows by ``s-1``
+    mod ``Mp`` IS the mod-``Mp`` fold of the mod-``K2`` roll.
     """
     B, N, M = x.shape
     Np, Mp, S, K2 = bm_dims(N, M)
+    KH = Mp if compact else K2
     odt = out_dtype or x.dtype
     if Bp is None:
         Bp = _ru(B, LANE)
     if (B, N) != (Bp, Np):
         x = jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, 0)))
-    kern = functools.partial(_skew_kernel, K2=K2, M=M, dtype=x.dtype)
+    kern = functools.partial(_skew_kernel, KH=KH, M=M, dtype=x.dtype)
     nx = Np // CH
     return pl.pallas_call(
         kern,
@@ -171,9 +181,9 @@ def skew_bm(x, Bp=None, out_dtype=None):
             lambda gb, g: (gb, jnp.minimum(g, nx - 1), 0),
             memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
-            (K2, CH, LANE), lambda gb, g: (0, g, gb),
+            (KH, CH, LANE), lambda gb, g: (0, g, gb),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K2, S, Bp), odt),
+        out_shape=jax.ShapeDtypeStruct((KH, S, Bp), odt),
         scratch_shapes=[pltpu.VMEM((M, LANE), x.dtype)],
         compiler_params=_params(),
         interpret=_interpret(),

@@ -468,15 +468,34 @@ class DeepBLAST:
 
     def align(self, x: str, y: str, state=None) -> str:
         """One-shot string alignment API
-        (reference: deepblast/trainer.py:80-88)."""
+        (reference: deepblast/trainer.py:80-88).
+
+        Uses the stream-layout decode when the DP backend supports it
+        (skips the unskew relayout — traceback walks the backend-native
+        stream directly on host); identical states either way
+        (tests/test_dp_bm.py stream-traceback parity)."""
         state = state or self.state
         x_tok, _ = self.tokenizer(x)
         y_tok, _ = self.tokenizer(y)
         batch = dict(x=jnp.asarray(x_tok)[None], y=jnp.asarray(y_tok)[None],
                      x_len=jnp.asarray([len(x_tok)]),
                      y_len=jnp.asarray([len(y_tok)]))
-        aln, _, _ = self._forward(state.params, state.lm_params, batch)
-        states = dp_ops.traceback(np.asarray(aln[0]))
+        _, be = dp_ops.get_backend(self.config.backend)
+        if "stream_cell" in be:
+            hx, hy = self._embeddings(state.params, state.lm_params, batch)
+            theta, A = self.aligner.apply(
+                {"params": state.params["aligner"]}, hx, hy,
+                method=NeuralAligner.potentials)
+            E_s = dp_ops.expected_alignment_stream(
+                theta, A, (batch["x_len"], batch["y_len"]),
+                mode=self.aligner.mode, operator=self.config.operator,
+                backend=self.config.backend)
+            states = dp_ops.traceback_stream(
+                E_s, len(x_tok), len(y_tok), 0,
+                backend=self.config.backend)
+        else:
+            aln, _, _ = self._forward(state.params, state.lm_params, batch)
+            states = dp_ops.traceback(np.asarray(aln[0]))
         return "".join(revstate_f(s) for _, _, s in states)
 
     def score_pairs(self, state, batch):

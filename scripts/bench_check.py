@@ -56,12 +56,24 @@ for b in range(CHECK_PAIRS):
     n = max(len(t32), len(t16))
     agree_frac.append(sum(x == y for x, y in zip(t32, t16)) / n)
 
+# the bench measures the stream-layout decode (no unskew): its host-side
+# traceback must match the natural-layout walk exactly (same E values,
+# different indexing)
+E_s = np.asarray(dp_ops.expected_alignment_stream(
+    theta, A, (ln, lm), mode="nw", backend=backend))
+stream_ok = all(
+    dp_ops.traceback_stream(E_s, N, M, b, backend=backend)
+    == dp_ops.traceback(E16[b])
+    for b in range(CHECK_PAIRS))
+
 result = {
     "max_E_err": round(err, 5),
     "traceback_agreement": round(float(np.mean(agree_frac)), 4),
+    "stream_traceback_exact": bool(stream_ok),
     "pairs": CHECK_PAIRS,
 }
 print(json.dumps(result))
 assert err < 1e-2, f"bf16-D E error too large at bench scale: {err}"
 assert np.mean(agree_frac) > 0.97, f"traceback agreement {agree_frac}"
+assert stream_ok, "stream-layout traceback diverged from natural layout"
 print("PASS")

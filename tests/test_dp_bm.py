@@ -138,3 +138,19 @@ def test_second_order_score_parity():
     np.testing.assert_allclose(v_p, v_s, rtol=1e-4)
     np.testing.assert_allclose(gg_p[0], gg_s[0], rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(gg_p[1], gg_s[1], rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["scan", "pallas_bm"])
+def test_stream_traceback_matches_natural(backend):
+    """expected_alignment_stream + traceback_stream (the no-unskew
+    inference path) produce exactly the natural-layout traceback."""
+    rng = np.random.default_rng(11)
+    B, N, M = 3, 24, 17
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    E = dp_mod.expected_alignment(theta, A, (ln, lm), backend=backend)
+    E_s = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
+                                           backend=backend)
+    for b in range(B):
+        n, m = int(ln[b]), int(lm[b])
+        assert dp_mod.traceback_stream(E_s, n, m, b, backend=backend) == \
+            dp_mod.traceback(np.asarray(E[b, :n, :m]))

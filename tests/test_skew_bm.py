@@ -45,6 +45,25 @@ def test_unskew_bm_roundtrip(B, N, M):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0)
 
 
+@pytest.mark.parametrize("B,N,M", [
+    (2, 16, 16), (3, 8, 24), (1, 24, 8), (2, 17, 13), (5, 16, 32),
+])
+def test_skew_bm_compact_fold(B, N, M):
+    """compact=True folds rows mod Mp: every *valid* cell of padded row d
+    appears at compact row d % Mp, same slot/lane (the paired diagonals'
+    slot windows are disjoint, so no collisions)."""
+    x = _rand(B, N, M, seed=3)
+    Np, Mp, S, K2 = bm_dims(N, M)
+    padded = np.asarray(skew_bm(x))
+    compact = np.asarray(skew_bm(x, compact=True))
+    assert compact.shape[0] == Mp
+    for d in range(N + M - 1):
+        for sl in range(1, N + 1):
+            if 0 <= d + 1 - sl < M:
+                np.testing.assert_array_equal(
+                    compact[d % Mp, sl, :B], padded[d, sl, :B])
+
+
 def test_unskew_bm_rejects_mismatched_stream():
     x = _rand(2, 16, 24, seed=2)
     s = skew_bm(x)
