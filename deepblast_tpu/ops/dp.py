@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepblast_tpu import native
 from deepblast_tpu.ops import dp_scan
 from deepblast_tpu.ops.skew import skew, unskew
 
@@ -113,6 +114,11 @@ _BACKENDS = {
         # host-side accessor into the backend's native E stream layout
         # (s[d, b, i] holds cell (i-1, d-i+1)): cell (i, j) -> s[i+j, b, i+1]
         "stream_cell": lambda s, b, i, j: s[i + j, b, i + 1],
+        # affine view for the native C walk: flat offset of cell (i, j) is
+        # (i+j)*B*S + b*S + (i+1) = i*(B*S+1) + j*B*S + (b*S+1)
+        "stream_affine": lambda s, b: (
+            np.ascontiguousarray(s).reshape(-1)[b * s.shape[2] + 1:],
+            s.shape[1] * s.shape[2] + 1, s.shape[1] * s.shape[2]),
     },
 }
 
@@ -284,7 +290,7 @@ def expected_alignment_stream(theta, A, lengths=None, Et=None, *, mode="nw",
     :func:`expected_alignment`).  Requires a backend that registers a
     ``stream_cell`` accessor ("scan", "pallas_bm")."""
     backend, be = get_backend(backend)
-    if "stream_cell" not in be:
+    if "stream_cell" not in be and "decode_stream" not in be:
         raise ValueError(f"backend {backend!r} has no stream-layout "
                          "accessor; use expected_alignment")
     ln, lm = _lengths(theta, lengths)
@@ -293,6 +299,10 @@ def expected_alignment_stream(theta, A, lengths=None, Et=None, *, mode="nw",
     if Et is None:
         Et = jnp.ones((theta.shape[0],), theta.dtype)
     B, N, M = theta.shape
+    if "decode_stream" in be:
+        # phase-split triangle-windowed decode (see dp_bm.decode_stream_bm)
+        return be["decode_stream"](theta, A, ln, lm, Et,
+                                   mode=mode, operator=operator)
     _, aux = be["forward"](be["skew"](theta), be["skew"](A), ln, lm,
                            mode=mode, operator=operator)
     Ediag, _ = be["backward"](Et, aux, ln, lm, mode=mode, operator=operator,
@@ -319,7 +329,12 @@ def traceback(grad):
     leave the matrix (observable on the reference's own ``dm.txt`` fixture,
     whose test is CUDA-gated and never ran: tests/test_nw_cuda.py:79-89).
     """
-    grad = np.asarray(grad)
+    grad = np.ascontiguousarray(np.asarray(grad))
+    if grad.dtype in (np.float32, np.float64):
+        states = native.traceback_affine(grad, grad.shape[1], 1,
+                                         grad.shape[0], grad.shape[1])
+        if states is not None:
+            return states
     return _traceback_walk(lambda i, j: grad[i, j], *grad.shape)
 
 
@@ -353,17 +368,34 @@ def _traceback_walk(get, N, M):
     return states[::-1]
 
 
-def traceback_stream(stream, n, m, b=0, *, backend=None):
+def traceback_stream(stream, n, m, b=0, *, backend=None, nm=None):
     """Greedy traceback directly from a backend-native expected-alignment
     stream (:func:`expected_alignment_stream`), for pair ``b`` with true
     lengths ``(n, m)``.  The walk touches O(n+m) cells, so the layout
     remap happens per visited cell on host — no device-side unskew.
     Identical output to ``traceback(unskew(stream)[b, :n, :m])``
-    (test-covered)."""
+    (test-covered).  ``nm`` optionally gives the padded decode dims when
+    they exceed the true lengths (only layout-relevant for backends whose
+    accessor needs them)."""
     _, be = get_backend(backend)
+    stream = jax.tree_util.tree_map(np.asarray, stream)
+    if isinstance(stream, dict):
+        # phase-segmented decode layout (dp_bm.decode_stream_bm)
+        states = native.traceback_segmented(
+            list(stream["seg"]), stream["row0"], stream["w0"], b, n, m)
+        if states is not None:
+            return states
+    elif "stream_affine" in be and stream.dtype in (np.float32, np.float64):
+        flat, si, sj = be["stream_affine"](stream, b)
+        states = native.traceback_affine(flat, si, sj, n, m)
+        if states is not None:
+            return states
+    if "stream_accessor" in be:
+        N, M = nm or (n, m)
+        acc = be["stream_accessor"](stream, N, M)
+        return _traceback_walk(lambda i, j: acc(b, i, j), n, m)
     cell = be["stream_cell"]
-    s = np.asarray(stream)
-    return _traceback_walk(lambda i, j: float(cell(s, b, i, j)), n, m)
+    return _traceback_walk(lambda i, j: float(cell(stream, b, i, j)), n, m)
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,8 @@ from __future__ import annotations
 import functools
 import os as _os
 
+import numpy as _np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -599,11 +601,289 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
     return Eddiag, EdA
 
 
+# ---------------------------------------------------------------------------
+# Phase-split stream-decode kernels (triangle windowing)
+#
+# The padded diagonal rectangle (K2, S) holds ~2x the real N*M cells at
+# square shapes: early diagonals have no high slots and late diagonals no
+# low slots.  A rectangular-grid kernel cannot skip the invalid half (block
+# shapes are static), but splitting the diagonal walk into P contiguous
+# *phases*, each its own pallas_call with a static slot window [w0, w1)
+# covering every valid slot of its rows, drops ~36% of the D/E stream
+# bytes at P=8 (window widths 144..520 vs the flat 520).  Each phase
+# emits its streams as a STANDALONE segment array (nk*T, w1-w0, Bp) — no
+# aliasing or reassembly copies — and carries (V / E / Q boundary planes)
+# flow between phases as small (S, Bp) arrays.  The traceback walks the
+# segmented E on host (dp.traceback_stream).  Decode-path only: the
+# training path keeps the monolithic kernels (its unskew consumers need
+# one dense stream).
+# ---------------------------------------------------------------------------
+
+DECODE_PHASES = int(_os.environ.get("DEEPBLAST_DECODE_PHASES", 8))
+
+
+def _phase_plan(K2, S, T, Kc, P=None):
+    """Static plan [(k0, nk, w0, w1), ...] splitting the K2//T diagonal
+    blocks into up to P phases with per-phase valid-slot windows.  Valid
+    slots of stream row r: [max(1, r+4-Mp), min(Np, r+3)] (skew_bm layout
+    contract with the padded dims Np = S-8, Mp = Kc)."""
+    P = P or DECODE_PHASES
+    Np, Mp = S - 8, Kc
+    KB = K2 // T
+    P = max(1, min(P, KB))
+    bounds = [KB * p // P for p in range(P + 1)]
+    plan = []
+    for p in range(P):
+        k0, k1 = bounds[p], bounds[p + 1]
+        if k1 <= k0:
+            continue
+        r0, r1 = k0 * T, k1 * T
+        lo = max(0, r0 + 4 - Mp)
+        hi = min(Np, r1 + 2) + 1
+        w0 = (lo // 16) * 16
+        w1 = min(-(-hi // 16) * 16, S)
+        w1 = max(w1, min(w0 + 16, S))
+        plan.append((k0, k1 - k0, w0, w1))
+    return plan
+
+
+def _place(v, lo_pad, hi_pad):
+    """Zero-extend a window plane (W, LANE) back to full S sublanes."""
+    parts = []
+    if lo_pad:
+        parts.append(jnp.zeros((lo_pad, v.shape[1]), v.dtype))
+    parts.append(v)
+    if hi_pad:
+        parts.append(jnp.zeros((hi_pad, v.shape[1]), v.dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _carry_spec(S):
+    return pl.BlockSpec((S, LANE), lambda b, k: (_i32(0), b),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_phase_kernel(ln_ref, lm_ref, vt_in, v1_in, v2_in, th_ref, ad_ref,
+                      vt_ref, dx_ref, dm_ref, v1_ref, v2_ref,
+                      *, lo, operator, T, k0, w0, w1):
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        vt_ref[...] = vt_in[...]
+        v1_ref[...] = v1_in[...]
+        v2_ref[...] = v2_in[...]
+
+    S = v1_ref.shape[0]
+    iarr = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+    ln = ln_ref[...]
+    lm = lm_ref[...]
+    v1v = v1_ref[...]
+    v2v = v2_ref[...]
+    dt = v1v.dtype
+    ddt = dx_ref.dtype
+    acc = jnp.zeros((1, LANE), vt_ref.dtype)
+    for t in range(T):
+        d = (k0 + kk) * T + t + 2
+        # inputs arrive as (T, W, LANE) Element-indexed windows of the
+        # compact stream — zero-extend to full S (the zeros only touch
+        # slots the valid mask kills anyway)
+        ash = _place(ad_ref[t].astype(dt), w0, S - w1)
+        thw = _place(th_ref[t].astype(dt), w0, S - w1)
+        dx = _shr(v1v) - v1v
+        dm = _shr(v2v) - ash - v1v
+        dx_ref[t] = dx[w0:w1].astype(ddt)
+        dm_ref[t] = dm[w0:w1].astype(ddt)
+        rel, _ = smooth.max3(operator, dx, dm, jnp.zeros_like(dx))
+        vnew = thw + ash + v1v + rel
+        valid, term = _masks(iarr, d, ln, lm, lo)
+        zero = jnp.zeros((), vnew.dtype)
+        vnew = jnp.where(valid, vnew, zero)
+        acc += jnp.sum(jnp.where(term, vnew, zero), axis=0, keepdims=True)
+        v2v = v1v
+        v1v = vnew
+    vt_ref[...] += acc
+    v2_ref[...] = v2v
+    v1_ref[...] = v1v
+
+
+def _bwd_phase_kernel(ln_ref, lm_ref, et_ref,
+                      e1_in, e2_in, qx_in, qm_in, qy_in, qm2_in,
+                      dx_ref, dm_ref,
+                      e_ref, e1_ref, e2_ref, qx_ref, qm_ref, qy_ref, qm2_ref,
+                      *, lo, operator, T, k0, nk, w0, w1):
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        e1_ref[...] = e1_in[...]
+        e2_ref[...] = e2_in[...]
+        qx_ref[...] = qx_in[...]
+        qm_ref[...] = qm_in[...]
+        qy_ref[...] = qy_in[...]
+        qm2_ref[...] = qm2_in[...]
+
+    S = e1_ref.shape[0]
+    iarr = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+    ln = ln_ref[...]
+    lm = lm_ref[...]
+    et = et_ref[...]
+    e1v = e1_ref[...]
+    e2v = e2_ref[...]
+    dt = e1v.dtype
+    q1 = (qx_ref[...], qm_ref[...], qy_ref[...])
+    qm2 = qm2_ref[...]
+    r0 = (k0 + nk - 1 - kk) * T
+    for lt in reversed(range(T)):
+        d = r0 + lt + 2
+        dxf = _place(dx_ref[lt].astype(dt), w0, S - w1)
+        dmf = _place(dm_ref[lt].astype(dt), w0, S - w1)
+        qh = _q_row(operator, dxf, dmf)
+        qx, qm, qy = q1
+        enew = _shl(qx * e1v) + _shl(qm2 * e2v) + qy * e1v
+        valid, term = _masks(iarr, d, ln, lm, lo)
+        zero = jnp.zeros((), enew.dtype)
+        enew = jnp.where(valid, enew, zero)
+        enew = enew + jnp.where(term, et, zero)
+        e_ref[lt] = enew[w0:w1].astype(e_ref.dtype)
+        e2v = e1v
+        e1v = enew
+        qm2 = qm
+        q1 = qh
+    e1_ref[...] = e1v
+    e2_ref[...] = e2v
+    qx_ref[...], qm_ref[...], qy_ref[...] = q1
+    qm2_ref[...] = qm2
+
+
+def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax"):
+    """Phase-split stream decode: skew -> phased forward -> phased
+    backward, returning the expected alignment as windowed segments
+    ``{"seg": (per-phase arrays), "row0": (P,), "w0": (P,)}`` for
+    :func:`deepblast_tpu.ops.dp.traceback_stream`.  Inference-only."""
+    th = skew_input(theta)
+    ad = skew_input(A)
+    Kc, S, Bp = th.shape
+    K2 = _unfold_dims(th)
+    dtype = _cdt(th.dtype)
+    ddt = D_DTYPE or dtype
+    edt = E_DTYPE or dtype
+    T = min(_fit_T(T_FWD, K2, S, [th.dtype, ad.dtype, ddt, ddt]),
+            _fit_T(T_BWD, K2, S, [ddt, ddt, edt, dtype, dtype, dtype]))
+    KBc = Kc // T
+    plan = _phase_plan(K2, S, T, Kc)
+    B = ln.shape[0]
+    lnp = _pad_vec(jnp.asarray(ln, jnp.int32), Bp, jnp.int32)
+    lmp = _pad_vec(jnp.asarray(lm, jnp.int32), Bp, jnp.int32)
+    etp = _pad_vec(Et, Bp, dtype)
+    lo_f = MODE_BOUNDS[mode][0]
+    lo_b = MODE_BOUNDS[mode][1]
+    cz = jnp.zeros((S, Bp), dtype)
+
+    # forward, phases ascending
+    vt = jnp.zeros((8, Bp), dtype)
+    v1, v2 = cz, cz
+    dxs, dms = [], []
+    for (k0, nk, w0, w1) in plan:
+        W = w1 - w0
+        kern = functools.partial(_fwd_phase_kernel, lo=lo_f,
+                                 operator=operator, T=T, k0=k0,
+                                 w0=w0, w1=w1)
+        seg = functools.partial(_block_spec, T, W)
+        # Element-indexed input windows: each phase only reads its static
+        # valid-slot window [w0, w1) of the compact input rows (~36% fewer
+        # input bytes at square shapes; offsets are per-call constants)
+        inw = pl.BlockSpec(
+            (T, pl.Element(W), LANE),
+            lambda b, k, k0=k0, w0=w0: ((k0 + k) % KBc, w0, b),
+            memory_space=pltpu.VMEM)
+        vt, dxseg, dmseg, v1, v2 = pl.pallas_call(
+            kern,
+            grid=(Bp // LANE, nk),
+            in_specs=[
+                _len_spec(), _len_spec(),
+                _vt_spec(), _carry_spec(S), _carry_spec(S),
+                inw, inw,
+            ],
+            out_specs=[_vt_spec(), seg(lambda k: k), seg(lambda k: k),
+                       _carry_spec(S), _carry_spec(S)],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, Bp), dtype),
+                jax.ShapeDtypeStruct((nk * T, W, Bp), ddt),
+                jax.ShapeDtypeStruct((nk * T, W, Bp), ddt),
+                jax.ShapeDtypeStruct((S, Bp), dtype),
+                jax.ShapeDtypeStruct((S, Bp), dtype),
+            ],
+            compiler_params=_compiler_params(),
+            interpret=_interpret(),
+        )(lnp, lmp, vt, v1, v2, th, ad)
+        dxs.append(dxseg)
+        dms.append(dmseg)
+
+    # backward, phases descending
+    e1 = e2 = qx = qm = qy = qm2 = cz
+    esegs = [None] * len(plan)
+    for p in reversed(range(len(plan))):
+        k0, nk, w0, w1 = plan[p]
+        W = w1 - w0
+        kern = functools.partial(_bwd_phase_kernel, lo=lo_b,
+                                 operator=operator, T=T, k0=k0, nk=nk,
+                                 w0=w0, w1=w1)
+        seg = functools.partial(_block_spec, T, W)
+        rev = lambda k, nk=nk: nk - 1 - k  # noqa: E731
+        eseg, e1, e2, qx, qm, qy, qm2 = pl.pallas_call(
+            kern,
+            grid=(Bp // LANE, nk),
+            in_specs=[
+                _len_spec(), _len_spec(), _len_spec(),
+                _carry_spec(S), _carry_spec(S), _carry_spec(S),
+                _carry_spec(S), _carry_spec(S), _carry_spec(S),
+                seg(rev), seg(rev),
+            ],
+            out_specs=[seg(rev)] + [_carry_spec(S)] * 6,
+            out_shape=[jax.ShapeDtypeStruct((nk * T, W, Bp), edt)]
+            + [jax.ShapeDtypeStruct((S, Bp), dtype)] * 6,
+            compiler_params=_compiler_params(),
+            interpret=_interpret(),
+        )(lnp, lmp, etp, e1, e2, qx, qm, qy, qm2, dxs[p], dms[p])
+        esegs[p] = eseg
+
+    return {
+        "seg": tuple(esegs),
+        "row0": jnp.asarray([k0 * T for (k0, _, _, _) in plan], jnp.int32),
+        "w0": jnp.asarray([w0 for (_, _, w0, _) in plan], jnp.int32),
+    }
+
+
+def _stream_accessor(s, N, M):
+    """Host-side cell accessor for both the dense batch-minor E stream and
+    the phase-segmented decode output."""
+    import numpy as np
+    if isinstance(s, dict):
+        segs = [np.asarray(x) for x in s["seg"]]
+        row0 = np.asarray(s["row0"])
+        w0 = np.asarray(s["w0"])
+
+        def get(b, i, j):
+            r = i + j
+            p = int(np.searchsorted(row0, r, side="right")) - 1
+            return float(segs[p][r - row0[p], i + 1 - w0[p], b])
+        return get
+    sd = np.asarray(s)
+    return lambda b, i, j: float(sd[i + j, i + 1, b])
+
+
 def register(make_default=None):
     """Register the batch-minor pallas backend with the DP dispatcher."""
     from deepblast_tpu.ops import dp
     if make_default is None:
-        make_default = jax.default_backend() == "tpu"
+        # jax.default_backend() *raises* when the configured platform
+        # cannot initialize (e.g. the axon tunnel is down); the package
+        # must still import for host-only work (parsers, traceback, ...)
+        try:
+            make_default = jax.default_backend() == "tpu"
+        except RuntimeError:
+            make_default = False
     dp.register_backend("pallas_bm", {
         "skew": skew_input,
         "unskew": unskew_output,
@@ -614,4 +894,12 @@ def register(make_default=None):
         # host accessor into the batch-minor E stream (skew_bm contract
         # stream[d, s, b] = E[b, s-1, d+1-s]): cell (i, j) -> [i+j, i+1, b]
         "stream_cell": lambda s, b, i, j: s[i + j, i + 1, b],
+        # affine view for the native C walk: flat offset of cell (i, j) is
+        # (i+j)*S*Bp + (i+1)*Bp + b = i*(S*Bp+Bp) + j*S*Bp + (Bp+b)
+        "stream_affine": lambda s, b: (
+            _np.ascontiguousarray(s).reshape(-1)[s.shape[2] + b:],
+            (s.shape[1] + 1) * s.shape[2], s.shape[1] * s.shape[2]),
+        # phase-split decode (triangle windowing) + segmented accessor
+        "decode_stream": decode_stream_bm,
+        "stream_accessor": _stream_accessor,
     }, make_default=make_default)

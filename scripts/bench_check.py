@@ -59,8 +59,8 @@ for b in range(CHECK_PAIRS):
 # the bench measures the stream-layout decode (no unskew): its host-side
 # traceback must match the natural-layout walk exactly (same E values,
 # different indexing)
-E_s = np.asarray(dp_ops.expected_alignment_stream(
-    theta, A, (ln, lm), mode="nw", backend=backend))
+E_s = dp_ops.expected_alignment_stream(
+    theta, A, (ln, lm), mode="nw", backend=backend)
 stream_ok = all(
     dp_ops.traceback_stream(E_s, N, M, b, backend=backend)
     == dp_ops.traceback(E16[b])

@@ -140,12 +140,17 @@ def test_second_order_score_parity():
     np.testing.assert_allclose(gg_p[1], gg_s[1], rtol=1e-3, atol=1e-5)
 
 
-@pytest.mark.parametrize("backend", ["scan", "pallas_bm"])
-def test_stream_traceback_matches_natural(backend):
-    """expected_alignment_stream + traceback_stream (the no-unskew
-    inference path) produce exactly the natural-layout traceback."""
+@pytest.mark.parametrize("backend,B,N,M", [
+    ("scan", 3, 24, 17),
+    ("pallas_bm", 3, 24, 17),
+    # large enough for several real phase windows (K2=256 -> 8 phases)
+    ("pallas_bm", 2, 128, 96),
+])
+def test_stream_traceback_matches_natural(backend, B, N, M):
+    """expected_alignment_stream + traceback_stream (the no-unskew,
+    phase-split inference path) produce exactly the natural-layout
+    traceback."""
     rng = np.random.default_rng(11)
-    B, N, M = 3, 24, 17
     theta, A, ln, lm = _problem(rng, B, N, M)
     E = dp_mod.expected_alignment(theta, A, (ln, lm), backend=backend)
     E_s = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
@@ -154,3 +159,29 @@ def test_stream_traceback_matches_natural(backend):
         n, m = int(ln[b]), int(lm[b])
         assert dp_mod.traceback_stream(E_s, n, m, b, backend=backend) == \
             dp_mod.traceback(np.asarray(E[b, :n, :m]))
+
+
+@pytest.mark.parametrize("mode,operator", [
+    ("nw", "softmax"), ("sw", "softmax"), ("nw", "sparsemax")])
+def test_decode_stream_E_parity(mode, operator):
+    """The phase-split decode's windowed E segments hold exactly the
+    natural-path expected alignment at every valid cell (all modes and a
+    non-default operator), via the registered stream accessor."""
+    from deepblast_tpu.ops import dp_bm
+    rng = np.random.default_rng(7)
+    B, N, M = 2, 64, 48
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    E_s = dp_mod.expected_alignment_stream(
+        theta, A, (ln, lm), mode=mode, operator=operator,
+        backend="pallas_bm")
+    En = np.asarray(dp_mod.expected_alignment(
+        theta, A, (ln, lm), mode=mode, operator=operator,
+        backend="pallas_bm"))
+    acc = dp_bm._stream_accessor(
+        jax.tree_util.tree_map(np.asarray, E_s), N, M)
+    for b in range(B):
+        n, m = int(ln[b]), int(lm[b])
+        got = np.asarray([[acc(b, i, j) for j in range(m)]
+                          for i in range(n)])
+        np.testing.assert_allclose(got, En[b, :n, :m], rtol=2e-5,
+                                   atol=2e-6)
