@@ -290,6 +290,14 @@ class DeepBLAST:
                             seed=seed, pad_multiple=self.config.pad_multiple,
                             drop_last=self.mesh is not None)
 
+    def _consume_loss(self, pending, losses, logger):
+        loss, step = pending
+        loss = float(loss)
+        assert not np.isnan(loss), "NaN training loss"
+        losses.append(loss)
+        if logger:
+            logger.log_scalar("train_loss", loss, step)
+
     def _device_batch(self, batch):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if not isinstance(v, list)}
@@ -342,16 +350,25 @@ class DeepBLAST:
         rng = jax.random.key(c.seed + 1)
         history = []
         best = np.inf
+        step0 = int(state.step)
         for epoch in range(c.epochs):
             losses = []
+            # One-step-deferred loss readback: float(loss) blocks on the
+            # device, so consuming step i's loss only after dispatching
+            # step i+1 overlaps host batch prep + dispatch with device
+            # compute (the tunnel RTT alone is ~31 ms/step).  The NaN
+            # assert consequently fires one step late — same guarantee
+            # the reference's detect_anomaly gives at far lower cost.
+            pending = None
             for batch in self._batches(train_dataset, True, c.seed + epoch):
                 rng, dr = jax.random.split(rng)
                 state, loss = train_step(state, self._device_batch(batch), dr)
-                loss = float(loss)
-                assert not np.isnan(loss), "NaN training loss"
-                losses.append(loss)
-                if logger:
-                    logger.log_scalar("train_loss", loss, int(state.step))
+                if pending is not None:
+                    self._consume_loss(pending, losses, logger)
+                step0 += 1
+                pending = (loss, step0)
+            if pending is not None:
+                self._consume_loss(pending, losses, logger)
             entry = {"epoch": epoch, "train_loss": float(np.mean(losses))}
             if valid_dataset is not None:
                 vlosses = []
