@@ -663,7 +663,12 @@ def register(make_default=None):
     """
     from deepblast_tpu.ops import dp
     if make_default is None:
-        make_default = jax.default_backend() == "tpu"
+        # must not raise when the configured platform cannot initialize
+        # (tunnel down) — the package still imports for host-only work
+        try:
+            make_default = jax.default_backend() == "tpu"
+        except RuntimeError:
+            make_default = False
     dp.register_backend("pallas", {
         "skew": skew_input,
         "unskew": unskew_output,
