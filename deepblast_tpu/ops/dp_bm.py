@@ -899,7 +899,9 @@ def register(make_default=None):
         "stream_affine": lambda s, b: (
             _np.ascontiguousarray(s).reshape(-1)[s.shape[2] + b:],
             (s.shape[1] + 1) * s.shape[2], s.shape[1] * s.shape[2]),
-        # phase-split decode (triangle windowing) + segmented accessor
-        "decode_stream": decode_stream_bm,
+        # phase-split decode (triangle windowing) + segmented accessor;
+        # DEEPBLAST_DECODE_STREAM=0 falls back to the monolithic kernels
+        **({"decode_stream": decode_stream_bm}
+           if _os.environ.get("DEEPBLAST_DECODE_STREAM", "1") != "0" else {}),
         "stream_accessor": _stream_accessor,
     }, make_default=make_default)
