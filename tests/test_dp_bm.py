@@ -161,6 +161,27 @@ def test_stream_traceback_matches_natural(backend, B, N, M):
             dp_mod.traceback(np.asarray(E[b, :n, :m]))
 
 
+@pytest.mark.parametrize("B,N,M", [(2, 96, 40), (2, 40, 96), (1, 72, 72)])
+def test_decode_stream_rectangular(B, N, M):
+    """Phase windows stay correct on strongly rectangular problems in
+    both orientations (the triangle geometry is asymmetric in Np/Mp)."""
+    from deepblast_tpu.ops import dp_bm
+    rng = np.random.default_rng(13)
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    E_s = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
+                                           backend="pallas_bm")
+    En = np.asarray(dp_mod.expected_alignment(theta, A, (ln, lm),
+                                              backend="pallas_bm"))
+    acc = dp_bm._stream_accessor(
+        jax.tree_util.tree_map(np.asarray, E_s), N, M)
+    for b in range(B):
+        n, m = int(ln[b]), int(lm[b])
+        got = np.asarray([[acc(b, i, j) for j in range(m)]
+                          for i in range(n)])
+        np.testing.assert_allclose(got, En[b, :n, :m], rtol=2e-5,
+                                   atol=2e-6)
+
+
 @pytest.mark.parametrize("mode,operator", [
     ("nw", "softmax"), ("sw", "softmax"), ("nw", "sparsemax")])
 def test_decode_stream_E_parity(mode, operator):
