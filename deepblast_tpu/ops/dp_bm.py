@@ -624,9 +624,15 @@ DECODE_PHASES = int(_os.environ.get("DEEPBLAST_DECODE_PHASES", 8))
 
 def _phase_plan(K2, S, T, Kc, P=None):
     """Static plan [(k0, nk, w0, w1), ...] splitting the K2//T diagonal
-    blocks into up to P phases with per-phase valid-slot windows.  Valid
-    slots of stream row r: [max(1, r+4-Mp), min(Np, r+3)] (skew_bm layout
-    contract with the padded dims Np = S-8, Mp = Kc)."""
+    blocks into up to P phases with per-phase valid-slot windows.
+
+    Layout contract (dp.py stream_cell: 0-based cell (i, j) lives at
+    row r = i+j, slot s = i+1, so j = r-s+1): row r's valid slots are
+    ``s in [max(1, r+2-lm), min(ln, r+1)]``.  With lengths bounded by the
+    padded dims (lm <= Mp = Kc, ln <= Np = S-8), phase rows [r0, r1)
+    need the slot window ``[max(1, r0+2-Mp), min(Np, r1-1+1)]`` — the
+    low bound is widest at the phase's first row, the high bound at its
+    last.  Windows round outward to 16-slot alignment."""
     P = P or DECODE_PHASES
     Np, Mp = S - 8, Kc
     KB = K2 // T
@@ -638,8 +644,8 @@ def _phase_plan(K2, S, T, Kc, P=None):
         if k1 <= k0:
             continue
         r0, r1 = k0 * T, k1 * T
-        lo = max(0, r0 + 4 - Mp)
-        hi = min(Np, r1 + 2) + 1
+        lo = max(0, r0 + 2 - Mp)
+        hi = min(Np, r1) + 1
         w0 = (lo // 16) * 16
         w1 = min(-(-hi // 16) * 16, S)
         w1 = max(w1, min(w0 + 16, S))

@@ -161,6 +161,32 @@ def test_stream_traceback_matches_natural(backend, B, N, M):
             dp_mod.traceback(np.asarray(E[b, :n, :m]))
 
 
+def test_phase_plan_covers_all_valid_slots():
+    """Window-coverage invariant of the phase plan: every valid slot of
+    every stream row (s in [max(1, r+2-lm), min(ln, r+1)], lengths up to
+    the padded dims) lies inside its phase's [w0, w1).  Under-coverage
+    silently corrupts the decode (cells read zeroed inputs and their E
+    never lands in a segment) — a latent off-by-two here was reachable
+    at the small T values _fit_T forces for long sequences."""
+    from deepblast_tpu.ops.dp_bm import _phase_plan
+    from deepblast_tpu.ops.skew_bm import bm_dims
+    for N, M in [(16, 16), (48, 24), (24, 48), (129, 63), (512, 512),
+                 (96, 96), (200, 72), (4096, 4096)]:
+        Np, Mp, S, K2 = bm_dims(N, M)
+        for T in (1, 2, 4, 8):
+            if K2 % T:
+                continue
+            for P in (1, 4, 8, 16):
+                for (k0, nk, w0, w1) in _phase_plan(K2, S, T, Mp, P):
+                    for r in range(k0 * T, (k0 + nk) * T):
+                        smin = max(1, r + 2 - M)
+                        smax = min(N, r + 1)
+                        if smin > smax:
+                            continue
+                        assert w0 <= smin and smax < w1, \
+                            (N, M, T, P, r, smin, smax, w0, w1)
+
+
 @pytest.mark.parametrize("B,N,M", [(2, 96, 40), (2, 40, 96), (1, 72, 72)])
 def test_decode_stream_rectangular(B, N, M):
     """Phase windows stay correct on strongly rectangular problems in
