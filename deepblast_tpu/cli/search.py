@@ -1,10 +1,17 @@
 """``deepblast-search`` — score query x database FASTA pairs
 (reference: scripts/deepblast-search, which is stale/broken upstream:
-it imports a removed class, scripts/deepblast-search:9)."""
+it imports a removed class, scripts/deepblast-search:9).
+
+Beyond the reference (which runs on one GPU): with more than one device
+and ``--mesh auto`` (the default), scoring batches are sharded over the
+``data`` axis of a device mesh — parameters replicated, pairs split —
+so database scans scale across a TPU slice the same way training does.
+"""
 
 from __future__ import annotations
 
 import argparse
+from types import SimpleNamespace
 
 import numpy as np
 
@@ -17,8 +24,12 @@ def main(argv=None):
                         help="model output directory (with config.json)")
     parser.add_argument("--output-file", type=str, required=True)
     parser.add_argument("--batch-size", type=int, default=10)
+    parser.add_argument("--mesh", choices=["auto", "none"], default="auto",
+                        help="shard scoring batches over the data axis of "
+                             "a device mesh when >1 device is visible")
     args = parser.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from deepblast_tpu.data.dataset import FastaDataset
@@ -29,12 +40,44 @@ def main(argv=None):
     ds = FastaDataset(args.query_fasta, args.db_fasta,
                       tokenizer=model.tokenizer)
 
+    mesh = None
+    dp = 1
+    if args.mesh == "auto" and len(jax.devices()) > 1:
+        from deepblast_tpu.parallel import mesh as mesh_lib
+        dp = len(jax.devices())
+        while args.batch_size % dp:  # mesh must divide the batch
+            dp //= 2
+        if dp > 1:
+            mesh = mesh_lib.make_mesh(dp=dp, tp=1)
+            repl = mesh_lib.replicated_sharding(mesh)
+            params = jax.device_put(model.state.params, repl)
+            lm_params = jax.device_put(model.state.lm_params, repl) \
+                if model.state.lm_params is not None else None
+            bsh = mesh_lib.batch_sharding(mesh)
+
+            # params as explicit jit args (never closure constants —
+            # XLA constant-folds large closures through layout ops)
+            @jax.jit
+            def _score(params, lm_params, batch):
+                state = SimpleNamespace(params=params, lm_params=lm_params)
+                return model.score_pairs(state, batch)
+
     def flush(items, out):
-        xs, xl = pad_sequences([it["x"] for it in items])
-        ys, yl = pad_sequences([it["y"] for it in items])
+        n = len(items)
+        pad = 0
+        its = items
+        if mesh is not None and n % dp:
+            pad = dp - n % dp  # replicate the tail so shapes shard evenly
+            its = items + [items[-1]] * pad
+        xs, xl = pad_sequences([it["x"] for it in its])
+        ys, yl = pad_sequences([it["y"] for it in its])
         batch = dict(x=jnp.asarray(xs), y=jnp.asarray(ys),
                      x_len=jnp.asarray(xl), y_len=jnp.asarray(yl))
-        scores = np.asarray(model.score_pairs(model.state, batch))
+        if mesh is not None:
+            batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+            scores = np.asarray(_score(params, lm_params, batch))[:n]
+        else:
+            scores = np.asarray(model.score_pairs(model.state, batch))
         for it, s, ql, dl in zip(items, scores, xl, yl):
             norm = s / (float(ql) * float(dl))
             out.write(f"{it['qid']}\t{it['dbid']}\t"

@@ -108,6 +108,36 @@ def test_tensorboard2csv(trained_dir, tmp_path):
     assert csv.exists()
 
 
+def test_search_cli_mesh_parity(trained_dir):
+    """--mesh auto shards scoring over the virtual devices and produces
+    the same scores as the single-device path."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("single device")
+    root, out, _ = trained_dir
+    q = root / "qm.fasta"
+    db = root / "dbm.fasta"
+    q.write_text(">q1\nACDEFGHIKL\n>q2\nMNPQRSTVWY\n>q3\nACDACD\n")
+    db.write_text(">d1\nACDEFGHIKL\n>d2\nTVWYACDE\n")
+    from deepblast_tpu.cli.search import main
+    f_mesh, f_none = root / "hits_mesh.tsv", root / "hits_none.tsv"
+    for mesh, path in [("auto", f_mesh), ("none", f_none)]:
+        rc = main(["--query-fasta", str(q), "--db-fasta", str(db),
+                   "--load-from-checkpoint", str(out),
+                   "--output-file", str(path), "--batch-size", "4",
+                   "--mesh", mesh])
+        assert rc == 0
+    lines_m = f_mesh.read_text().strip().split("\n")
+    lines_n = f_none.read_text().strip().split("\n")
+    assert len(lines_m) == len(lines_n) == 6
+    for a, b in zip(lines_m, lines_n):
+        qa, da, sa, na = a.split("\t")
+        qb, db_, sb, nb = b.split("\t")
+        assert (qa, da) == (qb, db_)
+        np.testing.assert_allclose(float(sa), float(sb), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_multi_device_data_parallel_fit():
     """DP sharding over the 8 virtual devices (reference: DDP,
     scripts/deepblast-train:66-84)."""
