@@ -35,6 +35,12 @@ def run_config(B, N, M, mode, backend, depth, iters, reps=4):
         def op(theta, A, _eps=0.0):
             return dp_ops.expected_alignment(
                 theta, A, (ln, lm), mode=mode, backend=backend)
+    elif depth == "decode":
+        # the inference product path (what bench.py times): expected
+        # alignment in the backend-native stream layout, no unskew
+        def op(theta, A, _eps=0.0):
+            return dp_ops.expected_alignment_stream(
+                theta, A, (ln, lm), mode=mode, backend=backend)
     else:  # train: gradient through the decode (2nd-order path)
         def op(theta, A, _eps=0.0):
             def loss(t, a):
@@ -57,7 +63,7 @@ def main(argv=None):
     parser.add_argument("--backend", default=None,
                         choices=[None, "scan", "pallas", "pallas_bm"])
     parser.add_argument("--depth", default="fwd+bwd",
-                        choices=["fwd", "fwd+bwd", "train"])
+                        choices=["fwd", "fwd+bwd", "decode", "train"])
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--length", type=int, default=512)
     parser.add_argument("--batch-size", type=int, default=64)
