@@ -68,6 +68,17 @@ def main():
         return dp_ops.expected_alignment_stream(
             theta, A, (ln, lm), mode="nw", backend=backend)
 
+    if on_tpu:
+        # insurance: if the phase-split decode fails to compile on this
+        # toolchain, fall back to the monolithic stream kernels rather
+        # than producing no benchmark at all
+        try:
+            jax.block_until_ready(decode(theta, A))
+        except Exception as e:  # noqa: BLE001
+            print(f"# decode_stream failed ({type(e).__name__}); "
+                  "falling back to monolithic kernels", flush=True)
+            dp_ops.get_backend(backend)[1].pop("decode_stream", None)
+
     dt = time_op(decode, theta, A, reps=8 if on_tpu else 2, iters=5)
     value = B / dt
     # normalise to the len-512 headline if measured on the small CPU config
