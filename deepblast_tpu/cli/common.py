@@ -66,6 +66,10 @@ def add_model_args(parser: argparse.ArgumentParser, require_pairs=True):
 
 def add_infra_args(parser: argparse.ArgumentParser):
     parser.add_argument("--grad-accum", type=int, default=1)
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="train K steps per device dispatch "
+                             "(lax.scan inside one jit) — amortises "
+                             "host round-trips")
     parser.add_argument("--grad-clip", type=float, default=10.0)
     parser.add_argument("--nodes", type=int, default=1)
     parser.add_argument("--coordinator", type=str, default=None,
@@ -110,6 +114,7 @@ def config_from_args(args) -> DeepBLASTConfig:
         loss=args.loss,
         grad_clip=getattr(args, "grad_clip", None),
         grad_accum=getattr(args, "grad_accum", 1),
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
         mask_gaps=bool(args.mask_gaps),
         seed=getattr(args, "seed", 0),
         precision=getattr(args, "precision", "32"),

@@ -48,7 +48,8 @@ def main(argv=None):
         while args.batch_size % dp:  # mesh must divide the batch
             dp //= 2
         if dp > 1:
-            mesh = mesh_lib.make_mesh(dp=dp, tp=1)
+            mesh = mesh_lib.make_mesh(dp=dp, tp=1,
+                                      devices=jax.devices()[:dp])
             repl = mesh_lib.replicated_sharding(mesh)
             params = jax.device_put(model.state.params, repl)
             lm_params = jax.device_put(model.state.lm_params, repl) \

@@ -103,12 +103,15 @@ def shard_params(params, mesh: Mesh, use_tp=False):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place every array of a batch dict on the data axis."""
-    sh = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, stacked: bool = False):
+    """Place every array of a batch dict on the data axis.  With
+    ``stacked``, arrays carry a leading steps axis (K, B, ...) and the
+    *second* axis is the sharded batch."""
+    sh = NamedSharding(mesh, P(None, "data")) if stacked \
+        else batch_sharding(mesh)
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
+        if hasattr(x, "ndim") and x.ndim >= (2 if stacked else 1):
             return jax.device_put(x, sh)
         return x
 

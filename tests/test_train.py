@@ -67,6 +67,44 @@ def test_training_loss_decreases(tiny_config):
     assert np.isfinite(history[-1]["validation_loss"])
 
 
+def test_multi_step_dispatch_matches_single():
+    """steps_per_dispatch=4 (lax.scan over stacked batches in one jit)
+    reproduces the single-step training losses step for step (dropout 0,
+    same seed/order; stragglers at shape changes fall back to singles)."""
+    ds = TMAlignDataset(fixture_frame(16, seed=5),
+                        tokenizer=ProtT5Tokenizer())
+    base = dict(embedding_dim=16, hidden_dim=16, layers=2, k_size=5,
+                vocab_size=32, lm_type="embed", batch_size=4,
+                learning_rate=5e-2, epochs=2, scheduler="none",
+                max_len=64, pad_multiple=64, dropout=0.0, mask_gaps=True)
+
+    class _Rec:
+        def __init__(self):
+            self.rows = []
+
+        def log_scalar(self, tag, value, step):
+            if tag == "train_loss":
+                self.rows.append((step, value))
+
+        def log_figure(self, *a, **k):
+            pass
+
+        def log_text(self, *a, **k):
+            pass
+
+    logs = {}
+    for spd in (1, 4):
+        model = DeepBLAST(DeepBLASTConfig(steps_per_dispatch=spd, **base))
+        rec = _Rec()
+        model.fit(ds, logger=rec)
+        logs[spd] = rec.rows
+    assert len(logs[1]) == len(logs[4]) == 8
+    assert [s for s, _ in logs[1]] == [s for s, _ in logs[4]]
+    np.testing.assert_allclose([v for _, v in logs[1]],
+                               [v for _, v in logs[4]],
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_align_string_api(tiny_config):
     ds = TMAlignDataset(fixture_frame(6), tokenizer=ProtT5Tokenizer())
     model = DeepBLAST(tiny_config)
