@@ -1,0 +1,34 @@
+#!/bin/bash
+# On-chip validation sequence for kernel changes (run when the axon
+# tunnel is up; see CLAUDE.md "Environment gotchas").  Usage:
+#   bash scripts/onchip_validate.sh [outdir]
+# Or as a recovery watchdog (retries until the tunnel answers):
+#   WAIT=1 nohup bash scripts/onchip_validate.sh &
+set -u
+OUT=${1:-/tmp}
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd "$(dirname "$0")/.."
+
+probe() {
+  timeout 180 python -c "import jax; assert jax.devices()[0].platform in ('tpu','axon'); import jax.numpy as jnp; jnp.ones((8,128)).block_until_ready()" >/dev/null 2>&1
+}
+
+if [ "${WAIT:-0}" = "1" ]; then
+  for i in $(seq 1 200); do
+    probe && { echo "tunnel up after attempt $i at $(date)"; break; }
+    echo "attempt $i down at $(date)"
+    sleep 90
+  done
+fi
+
+echo "== bench_check (parity gates at the bench config) =="
+timeout 4800 python scripts/bench_check.py | tee "$OUT/bench_check.log"
+echo "rc=$?"
+
+echo "== probe_dynamic_element (k-varying Element offsets) =="
+timeout 3600 python scripts/probe_dynamic_element.py | tee "$OUT/probe_dyn_element.log"
+echo "rc=$?"
+
+echo "== bench.py (headline) =="
+timeout 3600 python bench.py | tee "$OUT/bench.log"
+echo "rc=$?"
