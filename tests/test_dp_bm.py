@@ -161,6 +161,33 @@ def test_stream_traceback_matches_natural(backend, B, N, M):
             dp_mod.traceback(np.asarray(E[b, :n, :m]))
 
 
+def test_decode_stream_monolithic_fallback():
+    """Without the decode_stream entry (the escape hatch bench.py's
+    compile-failure insurance uses), expected_alignment_stream falls back
+    to the monolithic kernels and traceback_stream walks the dense
+    stream — same states."""
+    rng = np.random.default_rng(23)
+    B, N, M = 2, 48, 32
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    be = dp_mod.get_backend("pallas_bm")[1]
+    E_seg = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
+                                             backend="pallas_bm")
+    assert isinstance(E_seg, dict)
+    ds = be.pop("decode_stream")
+    try:
+        E_dense = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
+                                                   backend="pallas_bm")
+        assert not isinstance(E_dense, dict)
+        for b in range(B):
+            n, m = int(ln[b]), int(lm[b])
+            assert dp_mod.traceback_stream(E_dense, n, m, b,
+                                           backend="pallas_bm") == \
+                dp_mod.traceback_stream(E_seg, n, m, b,
+                                        backend="pallas_bm")
+    finally:
+        be["decode_stream"] = ds
+
+
 def test_phase_plan_covers_all_valid_slots():
     """Window-coverage invariant of the phase plan: every valid slot of
     every stream row (s in [max(1, r+2-lm), min(ln, r+1)], lengths up to
