@@ -22,7 +22,8 @@ import numpy as np
 __all__ = ["time_op"]
 
 
-def time_op(op, *args, reps=8, iters=5, warmup=1, probe=True):
+def time_op(op, *args, reps=8, iters=5, warmup=1, probe=True,
+            copy_argnums=None):
     """Median per-repetition seconds for ``op(*args, _eps=...)``.
 
     ``op`` is re-executed ``reps`` times inside a single jit with a scalar
@@ -47,6 +48,11 @@ def time_op(op, *args, reps=8, iters=5, warmup=1, probe=True):
 
     Device memory holds ``reps`` copies of the operands — size reps
     accordingly for large operands (8 x 0.5 GB is fine on a 16 GB chip).
+    ``copy_argnums`` restricts the per-rep copies to those positional
+    args; the rest are shared across reps (safe whenever at least one
+    copied operand feeds every rep — distinct inputs already defeat CSE.
+    Use for timing large-parameter models: copy the tokens, share the
+    weights).
     """
 
     def readback(out):
@@ -58,9 +64,17 @@ def time_op(op, *args, reps=8, iters=5, warmup=1, probe=True):
 
     # distinct device buffers per rep (jnp.array(copy=True) => separate
     # XLA parameters, identical values)
-    argsets = [args] + [
-        jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), args)
-        for _ in range(reps - 1)]
+    def _copy(a):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), a)
+
+    def _copy_set():
+        if copy_argnums is None:
+            return _copy(args)
+        return tuple(_copy(a) if i in copy_argnums else a
+                     for i, a in enumerate(args))
+
+    argsets = [args] + [_copy_set() for _ in range(reps - 1)]
 
     @jax.jit
     def repeated(argsets):

@@ -47,7 +47,8 @@ assert out.shape == (B, L, cfg.d_model)
 assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 dt = time_op(lambda p, t, _eps=0.0: model.apply(p, t), params, tokens,
-             reps=2, iters=3)
+             reps=2, iters=3, copy_argnums=(1,))  # share the 2.4 GB
+             # bf16 params across reps; distinct tokens defeat CSE
 mem = jax.devices()[0].memory_stats() or {}
 print(json.dumps({
     "params_M": round(n_params / 1e6, 1),

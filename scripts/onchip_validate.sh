@@ -32,3 +32,7 @@ echo "rc=$?"
 echo "== bench.py (headline) =="
 timeout 3600 python bench.py | tee "$OUT/bench.log"
 echo "rc=$?"
+
+echo "== ProtT5-XL len-1024 geometry fit (VERDICT r1 item 7) =="
+timeout 3000 python scripts/check_prot_t5_xl.py | tee "$OUT/t5xl.log"
+echo "rc=$?"
