@@ -108,6 +108,29 @@ def test_tensorboard2csv(trained_dir, tmp_path):
     assert csv.exists()
 
 
+def test_multi_device_fit_with_steps_per_dispatch():
+    """Data-parallel sharding composes with multi-step dispatch: the
+    scanned train step runs under the mesh with (K, B, ...) batches
+    sharded on axis 1."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("single device")
+    from deepblast_tpu.data import ProtT5Tokenizer, TMAlignDataset
+    from deepblast_tpu.parallel import make_mesh
+    from deepblast_tpu.train import DeepBLAST, DeepBLASTConfig
+    cfg = DeepBLASTConfig(
+        embedding_dim=16, hidden_dim=16, layers=2, vocab_size=32,
+        lm_type="embed", batch_size=8, learning_rate=1e-2, epochs=1,
+        scheduler="none", pad_multiple=64, dropout=0.0,
+        steps_per_dispatch=2)
+    ds = TMAlignDataset(fixture_frame(32, seed=4),
+                        tokenizer=ProtT5Tokenizer())
+    model = DeepBLAST(cfg)
+    mesh = make_mesh(dp=len(jax.devices()), tp=1)
+    state, history = model.fit(ds, mesh=mesh)
+    assert np.isfinite(history[-1]["train_loss"])
+
+
 def test_search_cli_mesh_parity(trained_dir):
     """--mesh auto shards scoring over the virtual devices and produces
     the same scores as the single-device path."""
