@@ -27,6 +27,11 @@ def main(argv=None):
     parser.add_argument("--mesh", choices=["auto", "none"], default="auto",
                         help="shard scoring batches over the data axis of "
                              "a device mesh when >1 device is visible")
+    parser.add_argument("--pad-multiple", type=int, default=64,
+                        help="round padded sequence lengths up to this "
+                             "multiple so batch shapes bucket and the "
+                             "scorer compiles a handful of programs "
+                             "instead of one per batch")
     args = parser.parse_args(argv)
 
     import jax
@@ -44,34 +49,39 @@ def main(argv=None):
     dp = 1
     if args.mesh == "auto" and len(jax.devices()) > 1:
         from deepblast_tpu.parallel import mesh as mesh_lib
-        dp = len(jax.devices())
-        while args.batch_size % dp:  # mesh must divide the batch
-            dp //= 2
-        if dp > 1:
-            mesh = mesh_lib.make_mesh(dp=dp, tp=1,
-                                      devices=jax.devices()[:dp])
-            repl = mesh_lib.replicated_sharding(mesh)
-            params = jax.device_put(model.state.params, repl)
-            lm_params = jax.device_put(model.state.lm_params, repl) \
-                if model.state.lm_params is not None else None
-            bsh = mesh_lib.batch_sharding(mesh)
+        dp = len(jax.devices())  # flush() pads the batch up to dp shards
+        mesh = mesh_lib.make_mesh(dp=dp, tp=1)
+        repl = mesh_lib.replicated_sharding(mesh)
+        params = jax.device_put(model.state.params, repl)
+        lm_params = jax.device_put(model.state.lm_params, repl) \
+            if model.state.lm_params is not None else None
+        bsh = mesh_lib.batch_sharding(mesh)
 
-            # params as explicit jit args (never closure constants —
-            # XLA constant-folds large closures through layout ops)
-            @jax.jit
-            def _score(params, lm_params, batch):
-                state = SimpleNamespace(params=params, lm_params=lm_params)
-                return model.score_pairs(state, batch)
+        # params as explicit jit args (never closure constants —
+        # XLA constant-folds large closures through layout ops)
+        @jax.jit
+        def _score(params, lm_params, batch):
+            state = SimpleNamespace(params=params, lm_params=lm_params)
+            return model.score_pairs(state, batch)
+
+    def _pad_bucketed(seqs):
+        # bucket padded lengths so batch shapes repeat and the jitted
+        # scorer compiles once per bucket, not once per flush
+        toks, lens = pad_sequences(seqs)
+        pm = max(1, args.pad_multiple)
+        L = -(-toks.shape[1] // pm) * pm
+        if L != toks.shape[1]:
+            toks = np.pad(toks, ((0, 0), (0, L - toks.shape[1])))
+        return toks, lens
 
     def flush(items, out):
         n = len(items)
-        pad = 0
         its = items
         if mesh is not None and n % dp:
             pad = dp - n % dp  # replicate the tail so shapes shard evenly
             its = items + [items[-1]] * pad
-        xs, xl = pad_sequences([it["x"] for it in its])
-        ys, yl = pad_sequences([it["y"] for it in its])
+        xs, xl = _pad_bucketed([it["x"] for it in its])
+        ys, yl = _pad_bucketed([it["y"] for it in its])
         batch = dict(x=jnp.asarray(xs), y=jnp.asarray(ys),
                      x_len=jnp.asarray(xl), y_len=jnp.asarray(yl))
         if mesh is not None:

@@ -50,8 +50,12 @@ enum { ST_X = 0, ST_M = 1, ST_Y = 2 };
             double up = (j <= 0) ? NEG : GET(ctx, i, j - 1);               \
             int s;                                                         \
             if (left == NEG && diag == NEG && up == NEG) break;            \
-            /* np.argmax first-max-wins: strict > to displace */           \
-            if (diag > left) {                                             \
+            /* np.argmax semantics: NaN is the max (first NaN wins),   */  \
+            /* else first-max-wins — strict > to displace              */  \
+            if (left != left) { i--; s = ST_X; }                           \
+            else if (diag != diag) { i--; j--; s = ST_M; }                 \
+            else if (up != up) { j--; s = ST_Y; }                          \
+            else if (diag > left) {                                        \
                 if (up > diag) { j--; s = ST_Y; }                          \
                 else { i--; j--; s = ST_M; }                               \
             } else {                                                       \

@@ -368,15 +368,13 @@ def _traceback_walk(get, N, M):
     return states[::-1]
 
 
-def traceback_stream(stream, n, m, b=0, *, backend=None, nm=None):
+def traceback_stream(stream, n, m, b=0, *, backend=None):
     """Greedy traceback directly from a backend-native expected-alignment
     stream (:func:`expected_alignment_stream`), for pair ``b`` with true
     lengths ``(n, m)``.  The walk touches O(n+m) cells, so the layout
     remap happens per visited cell on host — no device-side unskew.
     Identical output to ``traceback(unskew(stream)[b, :n, :m])``
-    (test-covered).  ``nm`` optionally gives the padded decode dims when
-    they exceed the true lengths (only layout-relevant for backends whose
-    accessor needs them)."""
+    (test-covered)."""
     _, be = get_backend(backend)
     stream = jax.tree_util.tree_map(np.asarray, stream)
     if isinstance(stream, dict):
@@ -391,8 +389,7 @@ def traceback_stream(stream, n, m, b=0, *, backend=None, nm=None):
         if states is not None:
             return states
     if "stream_accessor" in be:
-        N, M = nm or (n, m)
-        acc = be["stream_accessor"](stream, N, M)
+        acc = be["stream_accessor"](stream, n, m)
         return _traceback_walk(lambda i, j: acc(b, i, j), n, m)
     cell = be["stream_cell"]
     return _traceback_walk(lambda i, j: float(cell(stream, b, i, j)), n, m)

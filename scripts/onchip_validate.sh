@@ -4,7 +4,7 @@
 #   bash scripts/onchip_validate.sh [outdir]
 # Or as a recovery watchdog (retries until the tunnel answers):
 #   WAIT=1 nohup bash scripts/onchip_validate.sh &
-set -u
+set -u -o pipefail  # rc lines must reflect python, not tee
 OUT=${1:-/tmp}
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd "$(dirname "$0")/.."

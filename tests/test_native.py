@@ -34,6 +34,22 @@ def test_affine_natural_parity(dtype, shape):
     assert got == _oracle_natural(grad)
 
 
+def test_affine_nan_matches_numpy_argmax():
+    """np.argmax treats NaN as the maximum (first NaN wins); the C walk
+    must follow the same path on matrices containing NaN (e.g. decoded
+    from a diverged model) to keep bit-for-bit oracle parity."""
+    _require_native()
+    g = np.zeros((4, 4), np.float32)
+    g[1, 2] = np.nan
+    assert native.traceback_affine(g, 4, 1, 4, 4) == _oracle_natural(g)
+    g2 = np.zeros((5, 6), np.float32)
+    g2[2, 2] = np.nan
+    g2[2, 3] = np.nan  # adjacent NaNs: first-NaN-wins order matters
+    assert native.traceback_affine(g2, 6, 1, 5, 6) == _oracle_natural(g2)
+    g3 = np.full((3, 3), np.nan, np.float32)
+    assert native.traceback_affine(g3, 3, 1, 3, 3) == _oracle_natural(g3)
+
+
 def test_affine_tie_order_and_sentinel():
     """Exact ties must pick left > diag > up (np.argmax first-max);
     cells holding exactly -100000.0 count as the break sentinel."""
@@ -60,8 +76,9 @@ def test_traceback_entrypoint_uses_native(monkeypatch):
 
 @pytest.mark.parametrize("backend", ["scan", "pallas_bm"])
 def test_stream_affine_parity(backend):
-    """traceback_stream over the dense backend-native stream layouts
-    matches the natural-layout walk (native path active)."""
+    """The native affine walk over the dense backend-native stream
+    layouts matches the natural-layout walk (pallas_bm's decode_stream
+    is popped so the monolithic dense path actually runs)."""
     _require_native()
     rng = np.random.default_rng(11)
     B, N, M = 3, 24, 17
@@ -71,16 +88,18 @@ def test_stream_affine_parity(backend):
     lm = np.asarray([M, M - 1, M - 6], np.int32)
     E = dp_mod.expected_alignment(theta, A, (ln, lm), backend=backend)
     _, be = dp_mod.get_backend(backend)
-    # dense stream layout: run the monolithic path explicitly
-    s = np.asarray(dp_mod.expected_alignment_stream(
-        theta, A, (ln, lm), backend=backend)) \
-        if "decode_stream" not in be else None
-    for b in range(B):
-        n, m = int(ln[b]), int(lm[b])
-        want = dp_mod.traceback(np.asarray(E[b, :n, :m]))
-        if s is not None:
+    ds = be.pop("decode_stream", None)
+    try:
+        s = np.asarray(dp_mod.expected_alignment_stream(
+            theta, A, (ln, lm), backend=backend))
+        for b in range(B):
+            n, m = int(ln[b]), int(lm[b])
+            want = dp_mod.traceback(np.asarray(E[b, :n, :m]))
             flat, si, sj = be["stream_affine"](s, b)
             assert native.traceback_affine(flat, si, sj, n, m) == want
+    finally:
+        if ds is not None:
+            be["decode_stream"] = ds
 
 
 def test_segmented_parity():
