@@ -19,6 +19,7 @@ program (deepblast_tpu.utils.timing) because tunneled TPU backends have a
 """
 
 import json
+import os
 
 import jax
 
@@ -50,6 +51,12 @@ def main():
         # reference kernel is fp32 end-to-end.
         from deepblast_tpu.ops import dp_bm
         dp_bm.D_DTYPE = jnp.bfloat16
+        if os.environ.get("DEEPBLAST_BENCH_I16"):
+            # int16 fixed-point input/E storage (tests/test_i16_streams
+            # .py; on-chip gate: scripts/probe_i16_streams.py).  Opt-in
+            # until the chip-side agreement gate has been recorded.
+            dp_bm.STREAM_DTYPE = jnp.int16
+            dp_bm.E_DTYPE = jnp.int16
     B, N, M = (256, 512, 512) if on_tpu else (8, 64, 64)
 
     rng = np.random.default_rng(0)

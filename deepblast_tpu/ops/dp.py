@@ -378,9 +378,13 @@ def traceback_stream(stream, n, m, b=0, *, backend=None):
     _, be = get_backend(backend)
     stream = jax.tree_util.tree_map(np.asarray, stream)
     if isinstance(stream, dict):
-        # phase-segmented decode layout (dp_bm.decode_stream_bm)
+        # phase-segmented decode layout (dp_bm.decode_stream_bm).  int16
+        # fixed-point segments cast to f32 for the C walk — the walk is
+        # comparison-only, so the (monotone) dequant scale is irrelevant
+        segs = [s.astype(np.float32) if s.dtype == np.int16 else s
+                for s in stream["seg"]]
         states = native.traceback_segmented(
-            list(stream["seg"]), stream["row0"], stream["w0"], b, n, m)
+            segs, stream["row0"], stream["w0"], b, n, m)
         if states is not None:
             return states
     elif "stream_affine" in be and stream.dtype in (np.float32, np.float64):

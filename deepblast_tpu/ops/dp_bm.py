@@ -94,6 +94,41 @@ STREAM_DTYPE = None   # skewed potential/tangent streams th_s/A_s/Zt_s/Za_s
 D_DTYPE = None        # difference residual streams Dx/Dm/Dxd/Dmd
 E_DTYPE = None        # expectation streams E / Ed / EA / EdA
 
+# int16 *fixed-point* storage (decode-path dtype menu, round 2.5): where
+# bf16's 8-bit mantissa broke the traceback-agreement gate (inputs ~83%,
+# E ~63% — near-tie walk comparisons) and fp16 does not compile on this
+# toolchain, int16 fixed point offers 16-60x finer resolution at the same
+# byte width.  Inputs quantize as round(x * 32767/STREAM_RANGE) with
+# saturation (values beyond +-STREAM_RANGE clip — potentials are O(1)-
+# scale model outputs; the range is a knob).  Expectation streams (E in
+# [0, 1]) quantize at scale 32767: resolution 3e-5, ~100x finer than
+# bf16 near 1.  Compute stays fp32 in-kernel; only stores/loads convert.
+STREAM_RANGE = 16.0   # clip range when STREAM_DTYPE is int16
+_E_SCALE = 32767.0    # fixed-point scale when E_DTYPE is int16
+
+
+def _is_i16(dt):
+    return dt is not None and jnp.dtype(dt) == jnp.int16
+
+
+def _stream_inv(dt):
+    """Static dequantization factor for int16 fixed-point input streams
+    (None = stream is a plain float dtype)."""
+    return STREAM_RANGE / 32767.0 if _is_i16(dt) else None
+
+
+def _deq(v, inv):
+    return v * inv if inv else v
+
+
+def _eq(v, odt):
+    """Store-side cast, quantizing expectation planes when the stream
+    dtype is int16 fixed point."""
+    if _is_i16(odt):
+        return jnp.floor(
+            jnp.clip(v * _E_SCALE, -32767.0, 32767.0) + 0.5).astype(odt)
+    return v.astype(odt)
+
 
 def _interpret():
     return jax.default_backend() != "tpu"
@@ -200,8 +235,12 @@ def skew_input(x):
     batch-minor diagonal stream ``(Mp, S, Bp)`` — rows folded mod ``Mp``
     (see skew_bm: diagonals ``d`` and ``d + Mp`` have disjoint slot
     windows, so the fold is collision-free and halves the skew's HBM
-    write at square shapes).  Stored in ``STREAM_DTYPE`` when set."""
-    return skew_bm(x, out_dtype=STREAM_DTYPE, compact=True)
+    write at square shapes).  Stored in ``STREAM_DTYPE`` when set
+    (int16 selects fixed-point quantization at scale
+    ``32767/STREAM_RANGE``; consumers dequantize on load)."""
+    scale = 32767.0 / STREAM_RANGE if _is_i16(STREAM_DTYPE) else None
+    return skew_bm(x, out_dtype=STREAM_DTYPE, compact=True,
+                   quant_scale=scale)
 
 
 def _unfold_dims(th):
@@ -216,7 +255,11 @@ def _unfold_dims(th):
 
 
 def unskew_output(s, N, M, B):
-    """Inverse relayout; always emits full-precision natural output."""
+    """Inverse relayout; always emits full-precision natural output
+    (int16 fixed-point expectation streams are dequantized)."""
+    if _is_i16(s.dtype):
+        out = unskew_bm(s, N, M, B, out_dtype=jnp.float32)
+        return out * jnp.float32(1.0 / _E_SCALE)
     return unskew_bm(s, N, M, B, out_dtype=_cdt(s.dtype))
 
 
@@ -225,7 +268,8 @@ def unskew_output(s, N, M, B):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
-                vt_ref, dx_ref, dm_ref, v1, v2, *, lo, operator, T):
+                vt_ref, dx_ref, dm_ref, v1, v2, *, lo, operator, T,
+                inv=None):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -245,13 +289,13 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     acc = jnp.zeros((1, LANE), vt_ref.dtype)
     for t in range(T):
         d = k * T + t + 2
-        ash = ad_ref[t].astype(dt)
+        ash = _deq(ad_ref[t].astype(dt), inv)
         dx = _shr(v1v) - v1v                  # xarg - yarg (A cancels)
         dm = _shr(v2v) - ash - v1v            # marg - yarg
         dx_ref[t] = dx.astype(ddt)
         dm_ref[t] = dm.astype(ddt)
         rel, _ = smooth.max3(operator, dx, dm, jnp.zeros_like(dx))
-        vnew = th_ref[t].astype(dt) + ash + v1v + rel
+        vnew = _deq(th_ref[t].astype(dt), inv) + ash + v1v + rel
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), vnew.dtype)
         vnew = jnp.where(valid, vnew, zero)
@@ -280,7 +324,8 @@ def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][0]
 
-    kern = functools.partial(_fwd_kernel, lo=lo, operator=operator, T=T)
+    kern = functools.partial(_fwd_kernel, lo=lo, operator=operator, T=T,
+                             inv=_stream_inv(th.dtype))
     blk = functools.partial(_block_spec, T, S)
     vt, dxs, dms = pl.pallas_call(
         kern,
@@ -354,9 +399,9 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, dx_ref, dm_ref,
         zero = jnp.zeros((), enew.dtype)
         enew = jnp.where(valid, enew, zero)
         enew = enew + jnp.where(term, et, zero)
-        e_ref[lt] = enew.astype(e_ref.dtype)
+        e_ref[lt] = _eq(enew, e_ref.dtype)
         if want_gap:
-            ea_ref[lt] = (enew * (qh[0] + qh[2])).astype(ea_ref.dtype)
+            ea_ref[lt] = _eq(enew * (qh[0] + qh[2]), ea_ref.dtype)
         e2v = e1v
         e1v = enew
         qm2 = qm
@@ -411,7 +456,7 @@ def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
 
 def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, dx_ref, dm_ref,
                     vtd_ref, dxd_ref, dmd_ref, vd1, vd2,
-                    *, lo, operator, T):
+                    *, lo, operator, T, inv=None):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -433,14 +478,15 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, dx_ref, dm_ref,
         d = k * T + t + 2
         qx, qm, _ = _q_row(operator, dx_ref[t].astype(dt),
                            dm_ref[t].astype(dt))
-        zash = za_ref[t].astype(dt)
+        zash = _deq(za_ref[t].astype(dt), inv)
         dxd = _shr(vd1v) - vd1v               # xargd - yargd (Za cancels)
         dmd = _shr(vd2v) - zash - vd1v        # margd - yargd
         dxd_ref[t] = dxd.astype(ddt)
         dmd_ref[t] = dmd.astype(ddt)
         # q is a probability vector, so the tangent recurrence telescopes:
         # qx*xargd + qm*margd + qy*yargd = yargd + qx*Dxd + qm*Dmd
-        vdnew = zt_ref[t].astype(dt) + zash + vd1v + qx * dxd + qm * dmd
+        vdnew = (_deq(zt_ref[t].astype(dt), inv) + zash + vd1v
+                 + qx * dxd + qm * dmd)
         valid, term = _masks(iarr, d, ln, lm, lo)
         zero = jnp.zeros((), vdnew.dtype)
         vdnew = jnp.where(valid, vdnew, zero)
@@ -467,7 +513,8 @@ def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
     lmp = _pad_vec(lm, Bp, jnp.int32)
     lo = MODE_BOUNDS[mode][2]
 
-    kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator, T=T)
+    kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator, T=T,
+                             inv=_stream_inv(zt.dtype))
     blk = functools.partial(_block_spec, T, S)
     vtd, dxds, dmds = pl.pallas_call(
         kern,
@@ -501,7 +548,7 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
                     dx_ref, dm_ref, dxd_ref, dmd_ref, e_ref,
                     ed_ref, eda_ref, ed1, ed2, e1, e2,
                     cqx, cqm, cqy, cqdx, cqdm, cqdy, cqm2, cqdm2,
-                    *, lo, operator, T, KB):
+                    *, lo, operator, T, KB, einv=None):
     """Descending adjoint recurrence with the gap adjoint fused in:
     ``EdA[r] = Ed[r]*(Qx[r]+Qy[r]) + E[r]*(Qdx[r]+Qdy[r])``.  Q[r]/Qd[r]
     are evaluated ONCE per row from its aligned in-block planes (for the
@@ -547,7 +594,7 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
         valid, _ = _masks(iarr, d, ln, lm, lo)
         ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
         ed_ref[lt] = ednew.astype(ed_ref.dtype)
-        ehere = e_ref[lt].astype(dt)
+        ehere = _deq(e_ref[lt].astype(dt), einv)
         eda_ref[lt] = (ednew * (qsh[0] + qsh[2])
                        + ehere * (qdh[0] + qdh[2])).astype(eda_ref.dtype)
         ed2v = ed1v
@@ -573,8 +620,11 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
     dxs, dms = aux
     dxds, dmds = adj_aux
     K2, S, Bp = dxs.shape
-    dtype = _cdt(Ediag.dtype)
-    edt = E_DTYPE or dtype
+    dtype = _cdt(jnp.float32 if _is_i16(Ediag.dtype) else Ediag.dtype)
+    # adjoint expectations (Ed/EdA) are unbounded, so int16 fixed point is
+    # a decode-only E knob: the adjoint outputs fall back to fp32, and an
+    # int16 E *input* stream is dequantized on load
+    edt = dtype if _is_i16(E_DTYPE) else (E_DTYPE or dtype)
     T = _fit_T(T_ABWD, K2, S,
                [dxs.dtype, dms.dtype, dxds.dtype, dmds.dtype,
                 Ediag.dtype, edt, edt])
@@ -583,8 +633,9 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
     lo = MODE_BOUNDS[mode][3]
     KB = K2 // T
 
-    kern = functools.partial(_adj_bwd_kernel, lo=lo, operator=operator,
-                             T=T, KB=KB)
+    kern = functools.partial(
+        _adj_bwd_kernel, lo=lo, operator=operator, T=T, KB=KB,
+        einv=1.0 / _E_SCALE if _is_i16(Ediag.dtype) else None)
     blk = functools.partial(_block_spec, T, S)
     rev = lambda k: KB - 1 - k  # noqa: E731
     Eddiag, EdA = pl.pallas_call(
@@ -671,7 +722,7 @@ def _carry_spec(S):
 
 def _fwd_phase_kernel(ln_ref, lm_ref, vt_in, v1_in, v2_in, th_ref, ad_ref,
                       vt_ref, dx_ref, dm_ref, v1_ref, v2_ref,
-                      *, lo, operator, T, k0, w0, w1):
+                      *, lo, operator, T, k0, w0, w1, inv=None):
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
@@ -694,8 +745,8 @@ def _fwd_phase_kernel(ln_ref, lm_ref, vt_in, v1_in, v2_in, th_ref, ad_ref,
         # inputs arrive as (T, W, LANE) Element-indexed windows of the
         # compact stream — zero-extend to full S (the zeros only touch
         # slots the valid mask kills anyway)
-        ash = _place(ad_ref[t].astype(dt), w0, S - w1)
-        thw = _place(th_ref[t].astype(dt), w0, S - w1)
+        ash = _place(_deq(ad_ref[t].astype(dt), inv), w0, S - w1)
+        thw = _place(_deq(th_ref[t].astype(dt), inv), w0, S - w1)
         dx = _shr(v1v) - v1v
         dm = _shr(v2v) - ash - v1v
         dx_ref[t] = dx[w0:w1].astype(ddt)
@@ -751,7 +802,7 @@ def _bwd_phase_kernel(ln_ref, lm_ref, et_ref,
         zero = jnp.zeros((), enew.dtype)
         enew = jnp.where(valid, enew, zero)
         enew = enew + jnp.where(term, et, zero)
-        e_ref[lt] = enew[w0:w1].astype(e_ref.dtype)
+        e_ref[lt] = _eq(enew[w0:w1], e_ref.dtype)
         e2v = e1v
         e1v = enew
         qm2 = qm
@@ -794,7 +845,7 @@ def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax"):
         W = w1 - w0
         kern = functools.partial(_fwd_phase_kernel, lo=lo_f,
                                  operator=operator, T=T, k0=k0,
-                                 w0=w0, w1=w1)
+                                 w0=w0, w1=w1, inv=_stream_inv(th.dtype))
         seg = functools.partial(_block_spec, T, W)
         # Element-indexed input windows: each phase only reads its static
         # valid-slot window [w0, w1) of the compact input rows (~36% fewer
@@ -865,8 +916,15 @@ def _stream_accessor(s, N, M):
     """Host-side cell accessor for both the dense batch-minor E stream and
     the phase-segmented decode output."""
     import numpy as np
+
+    def _host(x):
+        x = np.asarray(x)
+        if x.dtype == np.int16:   # fixed-point E (see _E_SCALE)
+            return x.astype(np.float32) * np.float32(1.0 / _E_SCALE)
+        return x
+
     if isinstance(s, dict):
-        segs = [np.asarray(x) for x in s["seg"]]
+        segs = [_host(x) for x in s["seg"]]
         row0 = np.asarray(s["row0"])
         w0 = np.asarray(s["w0"])
 
@@ -875,7 +933,7 @@ def _stream_accessor(s, N, M):
             p = int(np.searchsorted(row0, r, side="right")) - 1
             return float(segs[p][r - row0[p], i + 1 - w0[p], b])
         return get
-    sd = np.asarray(s)
+    sd = _host(s)
     return lambda b, i, j: float(sd[i + j, i + 1, b])
 
 

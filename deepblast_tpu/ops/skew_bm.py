@@ -117,7 +117,7 @@ def _roll(x, shift, axis):
 # skew: (B, N, M) -> (K2, S, Bp)
 # ---------------------------------------------------------------------------
 
-def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype):
+def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype, scale=None):
     g = pl.program_id(1)
 
     @pl.when(g == 0)
@@ -134,7 +134,15 @@ def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype):
 
     def rolled_plane(t, plane):
         buf = plane if z is None else jnp.concatenate([plane, z], axis=0)
-        return _roll(buf, (base + t) % KH, 0).astype(odt)  # (KH, 128)
+        r = _roll(buf, (base + t) % KH, 0)                # (KH, 128)
+        if scale is not None:
+            # int16 fixed-point quantization: clip + round-half-up.  The
+            # roll runs fp32 (16-bit rolls crash this toolchain — probed)
+            # and the quantize/cast happens at the store, like the bf16
+            # path.  floor(x+0.5) rather than rint: plain floor is the
+            # conservatively-supported rounding primitive in Mosaic.
+            r = jnp.floor(jnp.clip(r * scale, -32767.0, 32767.0) + 0.5)
+        return r.astype(odt)
 
     planes = [prev] + [jnp.swapaxes(xb[:, t, :], 0, 1) for t in range(CH - 1)]
     carry[...] = jnp.swapaxes(xb[:, CH - 1, :], 0, 1)
@@ -146,13 +154,16 @@ def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype):
             o_ref[:, t, :] = rolled_plane(t, p)
 
 
-def skew_bm(x, Bp=None, out_dtype=None, compact=False):
+def skew_bm(x, Bp=None, out_dtype=None, compact=False, quant_scale=None):
     """Batch-minor diagonal relayout ``(B, N, M) -> (K2, S, Bp)``.
 
     ``out_dtype`` selects the stream storage dtype (bf16 halves the HBM
     write + every downstream DP-kernel read).  The shear rolls run in the
     *input* dtype — traced pltpu.roll on bf16 crashes this toolchain's
-    compiler (probed) — and the store casts.
+    compiler (probed) — and the store casts.  With ``quant_scale`` (a
+    static float, used with ``out_dtype=int16``) the store quantizes to
+    fixed point: ``round(clip(x*scale, ±32767))`` — consumers multiply
+    loads by ``1/scale`` (see dp_bm.STREAM_RANGE).
 
     ``compact=True`` folds the stream rows mod ``Mp`` into ``(Mp, S, Bp)``
     — halving the write at square shapes.  Diagonals ``d`` and ``d + Mp``
@@ -171,7 +182,8 @@ def skew_bm(x, Bp=None, out_dtype=None, compact=False):
         Bp = _ru(B, LANE)
     if (B, N) != (Bp, Np):
         x = jnp.pad(x, ((0, Bp - B), (0, Np - N), (0, 0)))
-    kern = functools.partial(_skew_kernel, KH=KH, M=M, dtype=x.dtype)
+    kern = functools.partial(_skew_kernel, KH=KH, M=M, dtype=x.dtype,
+                             scale=quant_scale)
     nx = Np // CH
     return pl.pallas_call(
         kern,

@@ -29,6 +29,10 @@ echo "== probe_dynamic_element (k-varying Element offsets) =="
 timeout 3600 python scripts/probe_dynamic_element.py | tee "$OUT/probe_dyn_element.log"
 echo "rc=$?"
 
+echo "== probe_i16_streams (int16 fixed-point dtype menu) =="
+timeout 5400 python scripts/probe_i16_streams.py | tee "$OUT/probe_i16.log"
+echo "rc=$?"
+
 echo "== bench.py (headline) =="
 timeout 3600 python bench.py | tee "$OUT/bench.log"
 echo "rc=$?"
