@@ -89,6 +89,12 @@ def add_infra_args(parser: argparse.ArgumentParser):
                         help="store the DP kernels' difference-residual "
                         "streams in bf16 (TPU; ~30%% less DP HBM traffic, "
                         "~0.4%% soft-argmax perturbation)")
+    parser.add_argument("--dp-i16-streams", action="store_true",
+                        help="store the DP input/expectation streams in "
+                        "int16 fixed point (TPU inference; ~30%% less "
+                        "decode HBM traffic, <2e-3 E perturbation — see "
+                        "tests/test_i16_streams.py; training gradients "
+                        "keep fp32 adjoint expectations)")
     return parser
 
 
@@ -119,6 +125,7 @@ def config_from_args(args) -> DeepBLASTConfig:
         seed=getattr(args, "seed", 0),
         precision=getattr(args, "precision", "32"),
         dp_bf16_residuals=getattr(args, "dp_bf16_residuals", False),
+        dp_i16_streams=getattr(args, "dp_i16_streams", False),
         train_pairs=args.train_pairs,
         valid_pairs=args.valid_pairs,
         test_pairs=args.test_pairs,

@@ -93,6 +93,11 @@ class DeepBLASTConfig:
     # passes — the recurrences themselves stay fp32).  Cuts the DP's HBM
     # traffic ~30% on TPU; no effect on the scan backend.
     dp_bf16_residuals: bool = False
+    # store the DP input/expectation streams in int16 fixed point
+    # (saturating at ops.dp_bm.STREAM_RANGE; <2e-3 E perturbation,
+    # tests/test_i16_streams.py).  Inference-leaning: adjoint expectation
+    # outputs (training) always fall back to fp32.
+    dp_i16_streams: bool = False
     # data
     train_pairs: Optional[str] = None
     valid_pairs: Optional[str] = None
@@ -156,6 +161,10 @@ class DeepBLAST:
             # module-level knob read at trace time by the TPU kernels
             from deepblast_tpu.ops import dp_bm
             dp_bm.D_DTYPE = jnp.bfloat16
+        if config.dp_i16_streams:
+            from deepblast_tpu.ops import dp_bm
+            dp_bm.STREAM_DTYPE = jnp.int16
+            dp_bm.E_DTYPE = jnp.int16
 
     # -- construction ------------------------------------------------------
 

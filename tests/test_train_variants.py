@@ -109,3 +109,25 @@ def test_dp_bf16_residuals_trains_and_converges():
         assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
     finally:
         dp_bm.D_DTYPE = None
+
+
+def test_dp_i16_streams_trains_and_aligns():
+    """--dp-i16-streams: training with int16 fixed-point input/E stream
+    storage converges (adjoint expectations fall back to fp32), and the
+    inference path still decodes valid alignments."""
+    import jax.numpy as jnp
+
+    from deepblast_tpu.ops import dp_bm
+    try:
+        cfg = DeepBLASTConfig(dp_i16_streams=True,
+                              backend="pallas_bm", **BASE)
+        assert dp_bm.STREAM_DTYPE is None
+        model, state, history = _fit(cfg)
+        assert dp_bm.STREAM_DTYPE == jnp.int16
+        assert dp_bm.E_DTYPE == jnp.int16
+        assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
+        pred = model.align("HEAGAWGHEE", "PAWHEAE", state=state)
+        assert set(pred) <= set(":12") and len(pred) >= 7
+    finally:
+        dp_bm.STREAM_DTYPE = None
+        dp_bm.E_DTYPE = None
