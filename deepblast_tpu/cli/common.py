@@ -90,11 +90,14 @@ def add_infra_args(parser: argparse.ArgumentParser):
                         "streams in bf16 (TPU; ~30%% less DP HBM traffic, "
                         "~0.4%% soft-argmax perturbation)")
     parser.add_argument("--dp-i16-streams", action="store_true",
-                        help="store the DP input/expectation streams in "
-                        "int16 fixed point (TPU inference; ~30%% less "
-                        "decode HBM traffic, <2e-3 E perturbation — see "
-                        "tests/test_i16_streams.py; training gradients "
-                        "keep fp32 adjoint expectations)")
+                        help="store the DP input streams (and the decode "
+                        "path's expectation segments) in int16 fixed "
+                        "point (TPU; ~30%% less decode HBM traffic, "
+                        "<2e-3 E perturbation — tests/test_i16_streams"
+                        ".py).  The training VJP keeps cotangent and "
+                        "expectation streams in float (unbounded), so "
+                        "only the saturating input quantization touches "
+                        "gradients")
     return parser
 
 

@@ -68,6 +68,11 @@ def get_lib():
     lib.traceback_segmented_f32.argtypes = [
         ctypes.POINTER(f32p), ctypes.POINTER(i64), ctypes.POINTER(i64),
         ctypes.POINTER(i64), ctypes.POINTER(i64), i64, i64, i64, i32p, i64]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.traceback_segmented_i16.restype = i64
+    lib.traceback_segmented_i16.argtypes = [
+        ctypes.POINTER(i16p), ctypes.POINTER(i64), ctypes.POINTER(i64),
+        ctypes.POINTER(i64), ctypes.POINTER(i64), i64, i64, i64, i32p, i64]
     _LIB = lib
     return _LIB
 
@@ -102,25 +107,34 @@ def traceback_affine(base, si, sj, n, m):
 
 
 def traceback_segmented(segs, row0, w0, b, n, m):
-    """C walk over the phase-split decode layout: per-segment float32
-    arrays ``segs[p]`` of shape (rows_p, W_p, Bp), first rows ``row0``,
-    window starts ``w0``, for pair ``b``."""
+    """C walk over the phase-split decode layout: per-segment float32 or
+    int16 (fixed-point — the walk is comparison-only and the quantization
+    monotone, so it runs on the raw integers) arrays ``segs[p]`` of shape
+    (rows_p, W_p, Bp), first rows ``row0``, window starts ``w0``, for
+    pair ``b``."""
     lib = get_lib()
-    if lib is None or any(s.dtype != np.float32 for s in segs):
+    if lib is None:
+        return None
+    if all(s.dtype == np.float32 for s in segs):
+        fn = lib.traceback_segmented_f32
+        cp = ctypes.POINTER(ctypes.c_float)
+    elif all(s.dtype == np.int16 for s in segs):
+        fn = lib.traceback_segmented_i16
+        cp = ctypes.POINTER(ctypes.c_int16)
+    else:
         return None
     segs = [np.ascontiguousarray(s) for s in segs]
     P = len(segs)
-    f32p = ctypes.POINTER(ctypes.c_float)
     # pre-offset each segment pointer to pair b (last axis, stride 1 elem)
-    ptrs = (f32p * P)(*[
-        ctypes.cast(s.ctypes.data + s.dtype.itemsize * b, f32p)
+    ptrs = (cp * P)(*[
+        ctypes.cast(s.ctypes.data + s.dtype.itemsize * b, cp)
         for s in segs])
     i64a = lambda xs: (ctypes.c_int64 * P)(*[int(x) for x in xs])  # noqa: E731
     sr = i64a(s.shape[1] * s.shape[2] for s in segs)
     ss = i64a(s.shape[2] for s in segs)
     cap = n + m + 1
     out = np.empty((cap, 3), np.int32)
-    cnt = lib.traceback_segmented_f32(
+    cnt = fn(
         ptrs, i64a(row0), i64a(w0), sr, ss, P, n, m,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
     if cnt < 0:  # pragma: no cover

@@ -156,3 +156,39 @@ int64_t traceback_segmented_f32(const float *const *seg, const int64_t *row0,
     segctx ctx = {seg, row0, w0, sr, ss, nseg};
     return walk_seg(&ctx, n, m, out, cap);
 }
+
+/* int16 fixed-point segments (dp_bm E_DTYPE=int16): the walk is
+ * comparison-only and the quantization is monotone, so it runs on the
+ * raw integers — no host-side dequantized copy.  All int16 values cast
+ * to double exceed the NEG sentinel, and the NaN branches simply never
+ * fire. */
+
+typedef struct {
+    const int16_t *const *seg;
+    const int64_t *row0;
+    const int64_t *w0;
+    const int64_t *sr, *ss;
+    int64_t nseg;
+} segctx16;
+
+static double seg_get16(const segctx16 *c, int64_t i, int64_t j)
+{
+    int64_t r = i + j, p = c->nseg - 1;
+    while (p > 0 && c->row0[p] > r) p--;
+    return (double)c->seg[p][(r - c->row0[p]) * c->sr[p] +
+                             (i + 1 - c->w0[p]) * c->ss[p]];
+}
+
+#define GET_SEG16(ctx, i, j) seg_get16(ctx, i, j)
+
+DEFINE_WALK(walk_seg16, const segctx16 *, GET_SEG16)
+
+int64_t traceback_segmented_i16(const int16_t *const *seg,
+                                const int64_t *row0, const int64_t *w0,
+                                const int64_t *sr, const int64_t *ss,
+                                int64_t nseg, int64_t n, int64_t m,
+                                int32_t *out, int64_t cap)
+{
+    segctx16 ctx = {seg, row0, w0, sr, ss, nseg};
+    return walk_seg16(&ctx, n, m, out, cap);
+}

@@ -189,8 +189,12 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
         B, N, M = Zt.shape
         ln = lnf.astype(jnp.int32)
         lm = lmf.astype(jnp.int32)
-        Ztd = be["skew"](Zt)
-        ZAd = be["skew"](Za) if Za is not None else jnp.zeros_like(Ztd)
+        # cotangents are UNBOUNDED (arbitrary upstream loss scaling), so
+        # they must not pass through a saturating fixed-point skew: use
+        # the backend's float cotangent skew when it has one
+        skew_ct = be.get("skew_ct", be["skew"])
+        Ztd = skew_ct(Zt)
+        ZAd = skew_ct(Za) if Za is not None else jnp.zeros_like(Ztd)
         # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
         vtd, adj_aux = be["adjoint_forward"](
             aux, Ztd, ZAd, ln, lm, mode=mode, operator=operator, nm=(N, M))
@@ -378,13 +382,11 @@ def traceback_stream(stream, n, m, b=0, *, backend=None):
     _, be = get_backend(backend)
     stream = jax.tree_util.tree_map(np.asarray, stream)
     if isinstance(stream, dict):
-        # phase-segmented decode layout (dp_bm.decode_stream_bm).  int16
-        # fixed-point segments cast to f32 for the C walk — the walk is
-        # comparison-only, so the (monotone) dequant scale is irrelevant
-        segs = [s.astype(np.float32) if s.dtype == np.int16 else s
-                for s in stream["seg"]]
+        # phase-segmented decode layout (dp_bm.decode_stream_bm); the C
+        # walk handles f32 and raw int16 fixed-point segments directly
+        # (comparison-only walk, monotone quantization)
         states = native.traceback_segmented(
-            segs, stream["row0"], stream["w0"], b, n, m)
+            list(stream["seg"]), stream["row0"], stream["w0"], b, n, m)
         if states is not None:
             return states
     elif "stream_affine" in be and stream.dtype in (np.float32, np.float64):

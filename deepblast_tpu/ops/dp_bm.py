@@ -243,6 +243,16 @@ def skew_input(x):
                    quant_scale=scale)
 
 
+def skew_cotangent(x):
+    """Relayout for the VJP's *cotangent* streams (Zt/Za).  Cotangents
+    are unbounded — any upstream loss scaling multiplies them — so the
+    saturating int16 fixed-point knob must not apply (it would clip
+    spikes and round small gradients to exactly zero).  Float storage
+    dtypes (bf16) are scale-invariant and stay allowed."""
+    odt = None if _is_i16(STREAM_DTYPE) else STREAM_DTYPE
+    return skew_bm(x, out_dtype=odt, compact=True)
+
+
 def _unfold_dims(th):
     """Recover ``(K2, KBc)`` grid facts from a compact input stream
     ``(Kc, S, Bp)`` produced by :func:`skew_input` (``Kc = Mp``,
@@ -417,7 +427,12 @@ def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
     dxs, dms = aux
     K2, S, Bp = dxs.shape
     dtype = _cdt(Et.dtype)
-    edt = E_DTYPE or dtype
+    # int16 fixed-point E assumes E in [0, 1] — true only for the decode
+    # seed Et=1.  This kernel also serves the training VJP, where Et is
+    # an arbitrary cotangent of Vt (E = Et * marginal scales with it), so
+    # the int16 knob is decode-only: it applies in decode_stream_bm, and
+    # this path falls back to float storage.
+    edt = dtype if _is_i16(E_DTYPE) else (E_DTYPE or dtype)
     T = _fit_T(T_BWD, K2, S,
                [dxs.dtype, dms.dtype, edt] + ([edt] if want_gap else []))
     B = Et.shape[0]
@@ -548,7 +563,7 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
                     dx_ref, dm_ref, dxd_ref, dmd_ref, e_ref,
                     ed_ref, eda_ref, ed1, ed2, e1, e2,
                     cqx, cqm, cqy, cqdx, cqdm, cqdy, cqm2, cqdm2,
-                    *, lo, operator, T, KB, einv=None):
+                    *, lo, operator, T, KB):
     """Descending adjoint recurrence with the gap adjoint fused in:
     ``EdA[r] = Ed[r]*(Qx[r]+Qy[r]) + E[r]*(Qdx[r]+Qdy[r])``.  Q[r]/Qd[r]
     are evaluated ONCE per row from its aligned in-block planes (for the
@@ -594,7 +609,7 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
         valid, _ = _masks(iarr, d, ln, lm, lo)
         ednew = jnp.where(valid, ednew, jnp.zeros((), ednew.dtype))
         ed_ref[lt] = ednew.astype(ed_ref.dtype)
-        ehere = _deq(e_ref[lt].astype(dt), einv)
+        ehere = e_ref[lt].astype(dt)
         eda_ref[lt] = (ednew * (qsh[0] + qsh[2])
                        + ehere * (qdh[0] + qdh[2])).astype(eda_ref.dtype)
         ed2v = ed1v
@@ -620,10 +635,10 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
     dxs, dms = aux
     dxds, dmds = adj_aux
     K2, S, Bp = dxs.shape
-    dtype = _cdt(jnp.float32 if _is_i16(Ediag.dtype) else Ediag.dtype)
-    # adjoint expectations (Ed/EdA) are unbounded, so int16 fixed point is
-    # a decode-only E knob: the adjoint outputs fall back to fp32, and an
-    # int16 E *input* stream is dequantized on load
+    dtype = _cdt(Ediag.dtype)  # (int16 promotes to fp32 compute)
+    # adjoint expectations (Ed/EdA) are unbounded, so the int16 fixed-
+    # point E knob does not apply here: fp32 fallback (backward_bm's E
+    # residual is likewise always float, so Ediag needs no dequant)
     edt = dtype if _is_i16(E_DTYPE) else (E_DTYPE or dtype)
     T = _fit_T(T_ABWD, K2, S,
                [dxs.dtype, dms.dtype, dxds.dtype, dmds.dtype,
@@ -633,9 +648,8 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
     lo = MODE_BOUNDS[mode][3]
     KB = K2 // T
 
-    kern = functools.partial(
-        _adj_bwd_kernel, lo=lo, operator=operator, T=T, KB=KB,
-        einv=1.0 / _E_SCALE if _is_i16(Ediag.dtype) else None)
+    kern = functools.partial(_adj_bwd_kernel, lo=lo, operator=operator,
+                             T=T, KB=KB)
     blk = functools.partial(_block_spec, T, S)
     rev = lambda k: KB - 1 - k  # noqa: E731
     Eddiag, EdA = pl.pallas_call(
@@ -817,7 +831,13 @@ def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax"):
     """Phase-split stream decode: skew -> phased forward -> phased
     backward, returning the expected alignment as windowed segments
     ``{"seg": (per-phase arrays), "row0": (P,), "w0": (P,)}`` for
-    :func:`deepblast_tpu.ops.dp.traceback_stream`.  Inference-only."""
+    :func:`deepblast_tpu.ops.dp.traceback_stream`.  Inference-only.
+
+    With ``E_DTYPE=int16`` the segments store fixed point at scale
+    32767, assuming the decode seed ``Et in [0, 1]`` (the default seed
+    is 1; values beyond saturate).  This is the only path where the
+    int16 E knob applies — the training VJP's E residual is always
+    float because its ``Et`` is an arbitrary cotangent."""
     th = skew_input(theta)
     ad = skew_input(A)
     Kc, S, Bp = th.shape
@@ -950,6 +970,7 @@ def register(make_default=None):
             make_default = False
     dp.register_backend("pallas_bm", {
         "skew": skew_input,
+        "skew_ct": skew_cotangent,
         "unskew": unskew_output,
         "forward": forward_bm,
         "backward": backward_bm,

@@ -93,10 +93,12 @@ class DeepBLASTConfig:
     # passes — the recurrences themselves stay fp32).  Cuts the DP's HBM
     # traffic ~30% on TPU; no effect on the scan backend.
     dp_bf16_residuals: bool = False
-    # store the DP input/expectation streams in int16 fixed point
-    # (saturating at ops.dp_bm.STREAM_RANGE; <2e-3 E perturbation,
-    # tests/test_i16_streams.py).  Inference-leaning: adjoint expectation
-    # outputs (training) always fall back to fp32.
+    # store the DP input streams (and the decode path's expectation
+    # segments) in int16 fixed point (saturating at
+    # ops.dp_bm.STREAM_RANGE; <2e-3 E perturbation,
+    # tests/test_i16_streams.py).  The training VJP keeps cotangent and
+    # expectation streams in float — they are unbounded — so only the
+    # input quantization touches gradients.
     dp_i16_streams: bool = False
     # data
     train_pairs: Optional[str] = None

@@ -12,6 +12,7 @@ natively on chip under DEEPBLAST_TEST_TPU=1; scripts/bench_check.py
 re-runs the same gates at the full bench shapes.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -74,19 +75,24 @@ def test_i16_inputs_decode_error_and_traceback(reset_dtypes):
     assert _agreement(E16, E32) >= 0.97
 
 
-def test_i16_expectation_stream(reset_dtypes):
-    """int16 fixed-point E storage (scale 32767): quantization error is
-    3e-5 — far below the bf16 E rounding that broke near-tie walk
-    comparisons — so E matches to ~1e-4 and the walk agrees."""
-    theta, A, ln, lm = _problem(B=4, N=48, M=40, seed=3)
-    _, E32 = _decode(theta, A, ln, lm)
+def test_i16_expectation_segments_match_fp32(reset_dtypes):
+    """int16 fixed-point E storage (scale 32767) applies on the decode
+    path only: the phase-split segments quantize at 3e-5 resolution —
+    far below the bf16 E rounding that broke near-tie walk comparisons —
+    so dequantized segment values match the fp32 natural E to ~1e-4."""
+    theta, A, ln, lm = _problem(B=3, N=40, M=36, seed=3)
+    N, M = 40, 36
+    E32 = np.asarray(dp_mod.expected_alignment(
+        theta, A, (ln, lm), backend="pallas_bm"))
     dp_bm.E_DTYPE = jnp.int16
-    _, E16 = _decode(theta, A, ln, lm)
-
-    assert E16.dtype == jnp.float32  # unskew_output dequantizes
-    err = np.max(np.abs(np.asarray(E16) - np.asarray(E32)))
-    assert err < 1e-4, f"i16-E error {err}"
-    assert _agreement(E16, E32) >= 0.98
+    out = dp_mod.expected_alignment_stream(
+        theta, A, (ln, lm), backend="pallas_bm")
+    assert all(s.dtype == jnp.int16 for s in out["seg"])
+    acc = dp_bm._stream_accessor(
+        jax.tree_util.tree_map(np.asarray, out), N, M)
+    errs = [abs(acc(b, i, j) - E32[b, i, j])
+            for b in range(3) for i in range(N) for j in range(M)]
+    assert max(errs) < 1e-4, f"i16-E segment error {max(errs)}"
 
 
 def test_i16_bench_menu_stream_decode(reset_dtypes):
@@ -126,41 +132,34 @@ def test_i16_saturation_is_clipped(reset_dtypes):
     assert np.asarray(E).max() < 1.0 + 1e-3
 
 
-def test_i16_storage_dtypes_and_adjoint_fp32_fallback(reset_dtypes):
-    """Storage dtype contract: input/E streams are int16, terminal scores
-    fp32; adjoint expectation outputs are unbounded so they ignore the
-    int16 E knob (fp32 fallback) while dequantizing the int16 E input."""
+def test_i16_storage_dtypes_decode_only(reset_dtypes):
+    """Storage dtype contract: input streams int16, terminal scores
+    fp32; the VJP-serving backward keeps its E residual *float* under
+    the int16 E knob (Et is an arbitrary cotangent there), and the
+    adjoint expectation outputs (unbounded) are fp32 too."""
     theta, A, ln, lm = _problem(B=2, N=12, M=12, seed=1)
     dp_bm.STREAM_DTYPE = jnp.int16
     dp_bm.E_DTYPE = jnp.int16
     thetap = dp_bm.skew_input(theta)
     assert thetap.dtype == jnp.int16
+    assert dp_bm.skew_cotangent(theta).dtype == jnp.float32
     vt, aux = dp_bm.forward_bm(thetap, dp_bm.skew_input(A), ln, lm)
     assert vt.dtype == jnp.float32
     Ediag, _ = dp_bm.backward_bm(jnp.ones_like(vt), aux, ln, lm)
-    assert Ediag.dtype == jnp.int16
+    assert Ediag.dtype == jnp.float32  # decode-only knob
 
-    dp_bm.STREAM_DTYPE = None
-    zt = dp_bm.skew_input(theta)
-    za = dp_bm.skew_input(A)
+    zt = dp_bm.skew_cotangent(theta)
+    za = dp_bm.skew_cotangent(A)
     _, adj_aux = dp_bm.adjoint_forward_bm(aux, zt, za, ln, lm)
     Ed, EdA = dp_bm.adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm)
     assert Ed.dtype == jnp.float32
     assert EdA.dtype == jnp.float32
-
-    # the dequantized-E adjoint matches the fp32-E adjoint closely
-    dp_bm.E_DTYPE = None
-    E32, _ = dp_bm.backward_bm(jnp.ones_like(vt), aux, ln, lm)
-    Ed32, EdA32 = dp_bm.adjoint_backward_bm(E32, aux, adj_aux, ln, lm)
-    np.testing.assert_allclose(np.asarray(EdA), np.asarray(EdA32),
-                               atol=5e-4)
 
 
 def test_i16_grad_path_stays_usable(reset_dtypes):
     """alignment_score remains differentiable with the int16 input knob
     on, with gradients close to the fp32 path (quantization-level
     error)."""
-    import jax
     theta, A, ln, lm = _problem(B=2, N=16, M=14, seed=6)
 
     def loss(th, a):
@@ -172,3 +171,40 @@ def test_i16_grad_path_stays_usable(reset_dtypes):
     g16 = jax.grad(loss)(theta, A)
     np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
                                atol=2e-2)
+
+
+def test_i16_scaled_cotangents_not_clipped(reset_dtypes):
+    """Regression (round-2 review): cotangent streams are unbounded, so
+    they bypass the saturating fixed-point skew.  A x1e4-scaled
+    second-order loss and a x5-scaled score gradient must scale their
+    gradients exactly — with the old quantized-cotangent path the former
+    lost 100% of its gradient and the latter clipped at 1."""
+    theta, A, ln, lm = _problem(B=2, N=16, M=14, seed=7)
+
+    def e_loss(th, a, scale):
+        E, _ = dp_mod.expected_alignment(
+            th, a, (ln, lm), backend="pallas_bm", return_gap=True)
+        return scale * jnp.sum(E ** 2)
+
+    g32 = jax.grad(lambda th, a: e_loss(th, a, 1e4))(theta, A)
+    dp_bm.STREAM_DTYPE = jnp.int16
+    dp_bm.E_DTYPE = jnp.int16
+    g16 = jax.grad(lambda th, a: e_loss(th, a, 1e4))(theta, A)
+    ref = np.max(np.abs(np.asarray(g32)))
+    assert ref > 1.0  # the scaling actually produces large cotangents
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               atol=2e-2 * ref)
+
+    def s_loss(th, a):
+        return 5.0 * jnp.sum(dp_mod.alignment_score(
+            th, a, (ln, lm), backend="pallas_bm"))
+
+    g5 = jax.grad(s_loss)(theta, A)
+    dp_bm.STREAM_DTYPE = None
+    dp_bm.E_DTYPE = None
+    g5_32 = jax.grad(s_loss)(theta, A)
+    # E-path is float in the VJP, so the x5 gradient is not clipped at 1
+    # (residual differences come only from the input quantization)
+    assert np.max(np.asarray(g5)) > 1.5
+    np.testing.assert_allclose(np.asarray(g5), np.asarray(g5_32),
+                               atol=0.1)

@@ -127,3 +127,37 @@ def test_segmented_parity():
         # and the public entry point picks the same path
         assert dp_mod.traceback_stream(E_s, n, m, b,
                                        backend="pallas_bm") == want
+
+
+def test_segmented_parity_i16():
+    """Native segmented walk on raw int16 fixed-point segments matches
+    the Python accessor walk (which dequantizes) — the C walk is
+    comparison-only and the quantization monotone, so no dequantized
+    copy is needed."""
+    _require_native()
+    import jax.numpy as jnp
+
+    from deepblast_tpu.ops import dp_bm
+    rng = np.random.default_rng(9)
+    B, N, M = 2, 48, 40
+    theta = np.asarray(rng.standard_normal((B, N, M)), np.float32)
+    A = np.asarray(rng.standard_normal((B, N, M)) - 1.0, np.float32)
+    ln = np.asarray([N, N - 5], np.int32)
+    lm = np.asarray([M, M - 9], np.int32)
+    try:
+        dp_bm.E_DTYPE = jnp.int16
+        E_s = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
+                                               backend="pallas_bm")
+    finally:
+        dp_bm.E_DTYPE = None
+    segs = [np.asarray(x) for x in E_s["seg"]]
+    assert all(s.dtype == np.int16 for s in segs)
+    row0, w0 = np.asarray(E_s["row0"]), np.asarray(E_s["w0"])
+    stream_np = {"seg": segs, "row0": row0, "w0": w0}
+    for b in range(B):
+        n, m = int(ln[b]), int(lm[b])
+        got = native.traceback_segmented(segs, row0, w0, b, n, m)
+        assert got is not None
+        acc = dp_bm._stream_accessor(stream_np, n, m)
+        want = dp_mod._traceback_walk(lambda i, j: acc(b, i, j), n, m)
+        assert got == want

@@ -125,7 +125,9 @@ def test_dp_i16_streams_trains_and_aligns():
         model, state, history = _fit(cfg)
         assert dp_bm.STREAM_DTYPE == jnp.int16
         assert dp_bm.E_DTYPE == jnp.int16
-        assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
+        # a real decrease: dead/saturated gradients (the failure mode the
+        # quantized-cotangent bug produced) leave the loss flat
+        assert history[-1]["train_loss"] < history[0]["train_loss"] * 0.8
         pred = model.align("HEAGAWGHEE", "PAWHEAE", state=state)
         assert set(pred) <= set(":12") and len(pred) >= 7
     finally:
