@@ -33,6 +33,10 @@ echo "== probe_i16_streams (int16 fixed-point dtype menu) =="
 timeout 5400 python scripts/probe_i16_streams.py | tee "$OUT/probe_i16.log"
 echo "rc=$?"
 
+echo "== probe_phase_sweep (DECODE_PHASES knee; honors DEEPBLAST_BENCH_I16) =="
+timeout 5400 python scripts/probe_phase_sweep.py | tee "$OUT/probe_phases.log"
+echo "rc=$?"
+
 echo "== bench.py (headline) =="
 timeout 3600 python bench.py | tee "$OUT/bench.log"
 echo "rc=$?"
