@@ -41,6 +41,11 @@ echo "== bench.py (headline) =="
 timeout 3600 python bench.py | tee "$OUT/bench.log"
 echo "rc=$?"
 
+echo "== train-depth throughput (4-pass; VERDICT r1 weak item 2) =="
+timeout 3600 python -m deepblast_tpu.cli.benchmark --sweep headline \
+  --depth train --backend pallas_bm | tee "$OUT/bench_train_depth.log"
+echo "rc=$?"
+
 echo "== ProtT5-XL len-1024 geometry fit (VERDICT r1 item 7) =="
 timeout 3000 python scripts/check_prot_t5_xl.py | tee "$OUT/t5xl.log"
 echo "rc=$?"
