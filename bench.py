@@ -20,6 +20,7 @@ program (deepblast_tpu.utils.timing) because tunneled TPU backends have a
 
 import json
 import os
+import time
 
 import jax
 
@@ -38,7 +39,22 @@ def main():
     from deepblast_tpu.ops import dp as dp_ops
     from deepblast_tpu.utils.timing import time_op
 
-    on_tpu = jax.default_backend() == "tpu"
+    # the axon tunnel occasionally drops (backend init raises); retry
+    # before falling back to CPU so a transient outage at bench time
+    # still produces a number rather than a crash
+    on_tpu = False
+    for attempt in range(10):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+            break
+        except RuntimeError as e:
+            print(f"# backend init failed (attempt {attempt + 1}): "
+                  f"{str(e)[:120]}; retrying in 60s", flush=True)
+            time.sleep(60)
+    else:
+        print("# TPU unreachable; falling back to the CPU scan backend",
+              flush=True)
+        jax.config.update("jax_platforms", "cpu")
     backend = "pallas_bm" if on_tpu else "scan"
     if on_tpu:
         # The DP kernels are DMA-bound, so the residual (difference)
