@@ -869,10 +869,13 @@ def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax"):
         seg = functools.partial(_block_spec, T, W)
         # Element-indexed input windows: each phase only reads its static
         # valid-slot window [w0, w1) of the compact input rows (~36% fewer
-        # input bytes at square shapes; offsets are per-call constants)
+        # input bytes at square shapes; offsets are per-call constants).
+        # jax>=0.9 requires every dim of an element_window block to be
+        # Element — index maps then return *element* offsets for all dims.
         inw = pl.BlockSpec(
-            (T, pl.Element(W), LANE),
-            lambda b, k, k0=k0, w0=w0: ((k0 + k) % KBc, w0, b),
+            (pl.Element(T), pl.Element(W), pl.Element(LANE)),
+            lambda b, k, k0=k0, w0=w0: (
+                _i32(((k0 + k) % KBc) * T), _i32(w0), b * LANE),
             memory_space=pltpu.VMEM)
         vt, dxseg, dmseg, v1, v2 = pl.pallas_call(
             kern,

@@ -72,8 +72,8 @@ def main():
             _copy_kernel,
             grid=(Bp // LANE, nk),
             in_specs=[pl.BlockSpec(
-                (T, pl.Element(W), LANE),
-                lambda b, k: (k, 16 * k, b),
+                (pl.Element(T), pl.Element(W), pl.Element(LANE)),
+                lambda b, k: (k * T, 16 * k, b * LANE),
                 memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((T, W, LANE), lambda b, k: (k, 0, b),
                                    memory_space=pltpu.VMEM),
@@ -100,8 +100,8 @@ def main():
             in_specs=[pl.BlockSpec((T, W, LANE), lambda b, k: (k, 0, b),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(
-                (T, pl.Element(W), LANE),
-                lambda b, k: (k, 16 * k, b),
+                (pl.Element(T), pl.Element(W), pl.Element(LANE)),
+                lambda b, k: (k * T, 16 * k, b * LANE),
                 memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nk * T, S, Bp), x.dtype),
             compiler_params=_params(),
@@ -129,9 +129,10 @@ def main():
             in_specs=[pl.BlockSpec((T, W, LANE), lambda b, k: (k, 0, b),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(
-                (T, pl.Element(W), LANE),
-                lambda b, k: (k % (nk // 2), 16 * (k % (nk // 2)) +
-                              (k // (nk // 2)) * half, b),
+                (pl.Element(T), pl.Element(W), pl.Element(LANE)),
+                lambda b, k: ((k % (nk // 2)) * T,
+                              16 * (k % (nk // 2)) +
+                              (k // (nk // 2)) * half, b * LANE),
                 memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(((nk // 2) * T, S, Bp), x.dtype),
             compiler_params=_params(),

@@ -54,8 +54,8 @@ def windowed_read(x, T, W, w0, nk):
         _copy_kernel,
         grid=(Bp // LANE, nk),
         in_specs=[pl.BlockSpec(
-            (T, pl.Element(W), LANE),
-            lambda b, k: (k, w0, b),
+            (pl.Element(T), pl.Element(W), pl.Element(LANE)),
+            lambda b, k: (k * T, w0, b * LANE),
             memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((T, W, LANE), lambda b, k: (k, 0, b),
                                memory_space=pltpu.VMEM),
@@ -74,8 +74,8 @@ def windowed_write(x, T, W, w0, nk, S):
         in_specs=[pl.BlockSpec((T, W, LANE), lambda b, k: (k, 0, b),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
-            (T, pl.Element(W), LANE),
-            lambda b, k: (k, w0, b),
+            (pl.Element(T), pl.Element(W), pl.Element(LANE)),
+            lambda b, k: (k * T, w0, b * LANE),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nk * T, S, Bp), x.dtype),
         compiler_params=_params(),
