@@ -56,23 +56,28 @@ def main():
               flush=True)
         jax.config.update("jax_platforms", "cpu")
     backend = "pallas_bm" if on_tpu else "scan"
+    dtypes = None
+    menu_desc = "fp32"
     if on_tpu:
         # The DP kernels are DMA-bound, so the residual (difference)
         # streams store in bf16 — they are O(1)-range, costing ~4e-3 abs
         # error on E with >98% greedy-traceback agreement at this scale
         # (test-covered: tests/test_bf16_streams.py, and on chip at the
         # exact bench shapes by scripts/bench_check.py).  Inputs and the
-        # E output stay fp32: quantizing those measurably changes decoded
-        # paths (see docs/PERF_NOTES.md round-2 dtype study), and the
-        # reference kernel is fp32 end-to-end.
-        from deepblast_tpu.ops import dp_bm
-        dp_bm.D_DTYPE = jnp.bfloat16
+        # E output stay fp32: the round-3 on-chip gate
+        # (scripts/probe_i16_streams.py) found int16 fixed point compiles
+        # and is EXACT (agreement 1.0) but measured perf-NEUTRAL — the
+        # D-bf16-only menu was fastest (51.1k vs 46.8k aligns/s for the
+        # full i16 menu, docs/PERF_NOTES.md round 3) — so D-bf16-only is
+        # the measured-best menu, not a fallback.  DEEPBLAST_BENCH_I16=1
+        # still selects the full i16 menu for comparison runs.
+        from deepblast_tpu.ops.dp_bm import DTypeMenu
         if os.environ.get("DEEPBLAST_BENCH_I16"):
-            # int16 fixed-point input/E storage (tests/test_i16_streams
-            # .py; on-chip gate: scripts/probe_i16_streams.py).  Opt-in
-            # until the chip-side agreement gate has been recorded.
-            dp_bm.STREAM_DTYPE = jnp.int16
-            dp_bm.E_DTYPE = jnp.int16
+            dtypes = DTypeMenu.make(stream="int16", d="bfloat16", e="int16")
+            menu_desc = "in=i16 D=bf16 E=i16"
+        else:
+            dtypes = DTypeMenu.make(d="bfloat16")
+            menu_desc = "D=bf16"
     B, N, M = (256, 512, 512) if on_tpu else (8, 64, 64)
 
     rng = np.random.default_rng(0)
@@ -89,29 +94,35 @@ def main():
     # scripts/bench_check.py).
     def decode(theta, A, _eps=0.0):
         return dp_ops.expected_alignment_stream(
-            theta, A, (ln, lm), mode="nw", backend=backend)
+            theta, A, (ln, lm), mode="nw", backend=backend, dtypes=dtypes)
 
+    path = "phase-split"
     if on_tpu:
         # insurance: if the phase-split decode fails to compile on this
         # toolchain, fall back to the monolithic stream kernels rather
-        # than producing no benchmark at all
+        # than producing no benchmark at all — and SAY SO in the JSON
+        # ("path") so the artifact is self-describing.
         try:
             jax.block_until_ready(decode(theta, A))
         except Exception as e:  # noqa: BLE001
             print(f"# decode_stream failed ({type(e).__name__}); "
                   "falling back to monolithic kernels", flush=True)
             dp_ops.get_backend(backend)[1].pop("decode_stream", None)
+            path = "monolithic-fallback"
 
     dt = time_op(decode, theta, A, reps=8 if on_tpu else 2, iters=5)
     value = B / dt
     # normalise to the len-512 headline if measured on the small CPU config
     if not on_tpu:
         value *= (N / 512.0) * (M / 512.0)
+        path = "cpu-scan-fallback"
     print(json.dumps({
         "metric": "alignments/sec/chip (soft-NW fwd+bwd, len-512)",
         "value": round(value, 2),
         "unit": "alignments/s",
         "vs_baseline": round(value / REFERENCE_CUDA_ALIGNMENTS_PER_SEC, 3),
+        "path": path,
+        "dtype_menu": menu_desc,
     }))
 
 

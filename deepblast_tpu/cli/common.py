@@ -92,10 +92,13 @@ def add_infra_args(parser: argparse.ArgumentParser):
     parser.add_argument("--dp-i16-streams", action="store_true",
                         help="store the DP input streams (and the decode "
                         "path's expectation segments) in int16 fixed "
-                        "point (TPU; ~30%% less decode HBM traffic, "
-                        "<2e-3 E perturbation — tests/test_i16_streams"
-                        ".py).  The training VJP keeps cotangent and "
-                        "expectation streams in float (unbounded), so "
+                        "point (TPU).  On-chip gate (round 3, scripts/"
+                        "probe_i16_streams.py): compiles, exact traceback "
+                        "agreement, <2e-3 E perturbation — but measured "
+                        "perf-NEUTRAL vs --dp-bf16-residuals alone, so "
+                        "this is an accuracy-preserving storage option, "
+                        "not a speedup.  The training VJP keeps cotangent "
+                        "and expectation streams in float (unbounded), so "
                         "only the saturating input quantization touches "
                         "gradients")
     return parser

@@ -50,6 +50,10 @@ class NeuralAligner(nn.Module):
     operator: str = "softmax"
     backend: Optional[str] = None
     matmul_dtype: Optional[str] = None   # e.g. "bfloat16" for MXU-friendly
+    # per-model DP storage-dtype menu (ops.dp_bm.DTypeMenu); threaded
+    # through every DP call so two models with different menus in one
+    # process can't contaminate each other's traced kernels
+    dp_dtypes: Optional[tuple] = None
 
     @property
     def mode(self):
@@ -90,7 +94,7 @@ class NeuralAligner(nn.Module):
         theta, A = self.potentials(hx, hy, deterministic)
         aln = dp_ops.expected_alignment(
             theta, A, lengths, mode=self.mode, operator=self.operator,
-            backend=self.backend)
+            backend=self.backend, dtypes=self.dp_dtypes)
         return aln, theta, A
 
     def score(self, hx, hy, lengths=None):
@@ -99,4 +103,4 @@ class NeuralAligner(nn.Module):
         theta, A = self.potentials(hx, hy, deterministic=True)
         return dp_ops.alignment_score(
             theta, A, lengths, mode=self.mode, operator=self.operator,
-            backend=self.backend)
+            backend=self.backend, dtypes=self.dp_dtypes)

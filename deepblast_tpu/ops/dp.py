@@ -147,9 +147,28 @@ def set_default_backend(name):
 # custom_vjp construction (cached per static configuration)
 # ---------------------------------------------------------------------------
 
+def _resolve_backend(be, dtypes):
+    """Apply a per-call storage-dtype menu to a backend's functions.
+
+    Backends that support storage-dtype menus register a ``with_dtypes``
+    factory (dtypes -> dict of rebound functions); only keys already
+    present are overridden, so runtime registry edits (env gates,
+    decode_stream fallback pops) stay effective.  Backends without the
+    factory ignore the menu — the scan oracle always computes in the
+    input dtype (storage knobs are a TPU-stream concept)."""
+    if dtypes is None or "with_dtypes" not in be:
+        return be
+    over = be["with_dtypes"](dtypes)
+    return {**be, **{k: v for k, v in over.items() if k in be}}
+
+
 @functools.lru_cache(maxsize=None)
-def _build(mode: str, operator: str, backend: str, with_gap: bool = True):
-    be = _BACKENDS[backend]
+def _build(mode: str, operator: str, backend: str, with_gap: bool = True,
+           dtypes=None):
+    # ``dtypes`` (a hashable dp_bm.DTypeMenu or None) is part of the cache
+    # key: kernels traced under one storage-dtype menu can never serve a
+    # same-config call with another menu.
+    be = _resolve_backend(_BACKENDS[backend], dtypes)
 
     def _run_forward(theta, A, ln, lm):
         thetad = be["skew"](theta)
@@ -244,7 +263,7 @@ def _lengths(theta, lengths):
 
 
 def alignment_score(theta, A, lengths=None, *, mode="nw",
-                    operator="softmax", backend=None):
+                    operator="softmax", backend=None, dtypes=None):
     """Terminal smoothed alignment score ``Vt`` for a padded batch.
 
     Parameters
@@ -252,15 +271,18 @@ def alignment_score(theta, A, lengths=None, *, mode="nw",
     theta : (B, N, M) match potentials.
     A : (B, N, M) per-cell gap potentials.
     lengths : optional tuple of (B,) arrays ``(ln, lm)`` of true lengths.
+    dtypes : optional per-call storage-dtype menu (dp_bm.DTypeMenu) for
+        backends that support one; part of the kernel cache key.
     """
     backend, _ = get_backend(backend)
-    score, _ = _build(mode, operator, backend, True)
+    score, _ = _build(mode, operator, backend, True, dtypes)
     ln, lm = _lengths(theta, lengths)
     return score(theta, A, ln, lm)
 
 
 def expected_alignment(theta, A, lengths=None, Et=None, *, mode="nw",
-                       operator="softmax", backend=None, return_gap=False):
+                       operator="softmax", backend=None, return_gap=False,
+                       dtypes=None):
     """Expected (posterior marginal) alignment matrix — ``decode``.
 
     Differentiable (twice) w.r.t. ``theta`` and ``A``.  With
@@ -268,7 +290,7 @@ def expected_alignment(theta, A, lengths=None, Et=None, *, mode="nw",
     ``E_A = dVt/dA``.
     """
     backend, _ = get_backend(backend)
-    _, expected = _build(mode, operator, backend, bool(return_gap))
+    _, expected = _build(mode, operator, backend, bool(return_gap), dtypes)
     ln, lm = _lengths(theta, lengths)
     if Et is None:
         Et = jnp.ones((theta.shape[0],), theta.dtype)
@@ -278,7 +300,7 @@ def expected_alignment(theta, A, lengths=None, Et=None, *, mode="nw",
 
 
 def expected_alignment_stream(theta, A, lengths=None, Et=None, *, mode="nw",
-                              operator="softmax", backend=None):
+                              operator="softmax", backend=None, dtypes=None):
     """Expected alignment in the backend's *native stream layout* — the
     inference/traceback hot path.
 
@@ -297,6 +319,7 @@ def expected_alignment_stream(theta, A, lengths=None, Et=None, *, mode="nw",
     if "stream_cell" not in be and "decode_stream" not in be:
         raise ValueError(f"backend {backend!r} has no stream-layout "
                          "accessor; use expected_alignment")
+    be = _resolve_backend(be, dtypes)
     ln, lm = _lengths(theta, lengths)
     ln = ln.astype(jnp.int32)
     lm = lm.astype(jnp.int32)

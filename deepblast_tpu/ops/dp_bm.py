@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import functools
 import os as _os
+import typing as _typing
 
 import numpy as _np
 
@@ -68,6 +69,7 @@ from deepblast_tpu.ops.dp_scan import MODE_BOUNDS
 from deepblast_tpu.ops.skew_bm import skew_bm, unskew_bm
 
 __all__ = [
+    "DTypeMenu",
     "forward_bm",
     "backward_bm",
     "adjoint_forward_bm",
@@ -90,6 +92,13 @@ VMEM_BUDGET = int(_os.environ.get("DEEPBLAST_VMEM_BUDGET", 14 * 2**20))
 # Storage dtypes (None = compute dtype).  bf16 halves stream DMA traffic;
 # compute stays fp32 in-kernel.  Opt-in (bench/inference); tests and
 # training pin fp32.
+#
+# These module globals are the process-wide *defaults*; callers that need
+# isolation (two models with different menus in one process) pass an
+# explicit :class:`DTypeMenu` per call instead — every public kernel
+# wrapper takes ``dtypes=``, and the dispatcher (ops.dp) threads it into
+# its custom_vjp cache key via the backend registry's ``with_dtypes``
+# factory, so kernels traced under one menu can never serve another.
 STREAM_DTYPE = None   # skewed potential/tangent streams th_s/A_s/Zt_s/Za_s
 D_DTYPE = None        # difference residual streams Dx/Dm/Dxd/Dmd
 E_DTYPE = None        # expectation streams E / Ed / EA / EdA
@@ -111,10 +120,55 @@ def _is_i16(dt):
     return dt is not None and jnp.dtype(dt) == jnp.int16
 
 
-def _stream_inv(dt):
+class DTypeMenu(_typing.NamedTuple):
+    """Per-call storage-dtype menu for the batch-minor kernels.
+
+    Hashable (dtype *names*, not dtype objects) so it can key the
+    dispatcher's custom_vjp ``lru_cache`` — two models with different
+    menus in one process get distinct traced kernels.  ``None`` fields
+    mean "compute dtype" (fp32).  Build via :meth:`make`, which accepts
+    anything ``jnp.dtype`` does."""
+
+    stream: "str | None" = None   # skewed input streams th_s/A_s/Zt_s/Za_s
+    d: "str | None" = None        # difference residual streams Dx/Dm/Dxd/Dmd
+    e: "str | None" = None        # expectation streams E / Ed / EA / EdA
+    stream_range: float = 16.0    # int16 saturation range for inputs
+
+    @classmethod
+    def make(cls, stream=None, d=None, e=None, stream_range=None):
+        def name(x):
+            return None if x is None else jnp.dtype(x).name
+        return cls(name(stream), name(d), name(e),
+                   float(STREAM_RANGE if stream_range is None
+                         else stream_range))
+
+    @property
+    def stream_dtype(self):
+        return None if self.stream is None else jnp.dtype(self.stream)
+
+    @property
+    def d_dtype(self):
+        return None if self.d is None else jnp.dtype(self.d)
+
+    @property
+    def e_dtype(self):
+        return None if self.e is None else jnp.dtype(self.e)
+
+
+def _menu(dtypes):
+    """Resolve a per-call menu; ``None`` falls back to the module-global
+    defaults (kept for probe scripts and back-compat)."""
+    if dtypes is None:
+        return DTypeMenu.make(STREAM_DTYPE, D_DTYPE, E_DTYPE, STREAM_RANGE)
+    if not isinstance(dtypes, DTypeMenu):
+        raise TypeError(f"dtypes must be a DTypeMenu, got {type(dtypes)!r}")
+    return dtypes
+
+
+def _stream_inv(dt, stream_range):
     """Static dequantization factor for int16 fixed-point input streams
     (None = stream is a plain float dtype)."""
-    return STREAM_RANGE / 32767.0 if _is_i16(dt) else None
+    return stream_range / 32767.0 if _is_i16(dt) else None
 
 
 def _deq(v, inv):
@@ -230,26 +284,28 @@ def _compiler_params():
         vmem_limit_bytes=VMEM_LIMIT)
 
 
-def skew_input(x):
+def skew_input(x, dtypes=None):
     """Relayout a natural ``(B, N, M)`` potential into the *compact*
     batch-minor diagonal stream ``(Mp, S, Bp)`` — rows folded mod ``Mp``
     (see skew_bm: diagonals ``d`` and ``d + Mp`` have disjoint slot
     windows, so the fold is collision-free and halves the skew's HBM
-    write at square shapes).  Stored in ``STREAM_DTYPE`` when set
+    write at square shapes).  Stored in the menu's stream dtype when set
     (int16 selects fixed-point quantization at scale
-    ``32767/STREAM_RANGE``; consumers dequantize on load)."""
-    scale = 32767.0 / STREAM_RANGE if _is_i16(STREAM_DTYPE) else None
-    return skew_bm(x, out_dtype=STREAM_DTYPE, compact=True,
-                   quant_scale=scale)
+    ``32767/stream_range``; consumers dequantize on load)."""
+    menu = _menu(dtypes)
+    sdt = menu.stream_dtype
+    scale = 32767.0 / menu.stream_range if _is_i16(sdt) else None
+    return skew_bm(x, out_dtype=sdt, compact=True, quant_scale=scale)
 
 
-def skew_cotangent(x):
+def skew_cotangent(x, dtypes=None):
     """Relayout for the VJP's *cotangent* streams (Zt/Za).  Cotangents
     are unbounded — any upstream loss scaling multiplies them — so the
     saturating int16 fixed-point knob must not apply (it would clip
     spikes and round small gradients to exactly zero).  Float storage
     dtypes (bf16) are scale-invariant and stay allowed."""
-    odt = None if _is_i16(STREAM_DTYPE) else STREAM_DTYPE
+    sdt = _menu(dtypes).stream_dtype
+    odt = None if _is_i16(sdt) else sdt
     return skew_bm(x, out_dtype=odt, compact=True)
 
 
@@ -317,16 +373,18 @@ def _fwd_kernel(ln_ref, lm_ref, th_ref, ad_ref,
     v1[...] = v1v
 
 
-def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
+def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None,
+               dtypes=None):
     """``th``/``ad`` are *compact* batch-minor streams from
     :func:`skew_input` (rows folded mod ``Kc``); the outputs walk the
     full padded ``K2`` rows (DP write order forbids folding outputs).
     Returns ``(vt, aux)`` with ``aux = (Dx, Dm)`` — the per-row transition
     argument differences every reverse pass recomputes Q from."""
+    menu = _menu(dtypes)
     Kc, S, Bp = th.shape
     K2 = _unfold_dims(th)
     dtype = _cdt(th.dtype)
-    ddt = D_DTYPE or dtype
+    ddt = menu.d_dtype or dtype
     T = _fit_T(T_FWD, K2, S, [th.dtype, ad.dtype, ddt, ddt])
     KBc = Kc // T
     B = ln.shape[0]
@@ -335,7 +393,7 @@ def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None):
     lo = MODE_BOUNDS[mode][0]
 
     kern = functools.partial(_fwd_kernel, lo=lo, operator=operator, T=T,
-                             inv=_stream_inv(th.dtype))
+                             inv=_stream_inv(th.dtype, menu.stream_range))
     blk = functools.partial(_block_spec, T, S)
     vt, dxs, dms = pl.pallas_call(
         kern,
@@ -423,7 +481,8 @@ def _bwd_kernel(ln_ref, lm_ref, et_ref, dx_ref, dm_ref,
 
 
 def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
-                want_gap=False, nm=None):
+                want_gap=False, nm=None, dtypes=None):
+    menu = _menu(dtypes)
     dxs, dms = aux
     K2, S, Bp = dxs.shape
     dtype = _cdt(Et.dtype)
@@ -432,7 +491,7 @@ def backward_bm(Et, aux, ln, lm, *, mode="nw", operator="softmax",
     # an arbitrary cotangent of Vt (E = Et * marginal scales with it), so
     # the int16 knob is decode-only: it applies in decode_stream_bm, and
     # this path falls back to float storage.
-    edt = dtype if _is_i16(E_DTYPE) else (E_DTYPE or dtype)
+    edt = dtype if _is_i16(menu.e_dtype) else (menu.e_dtype or dtype)
     T = _fit_T(T_BWD, K2, S,
                [dxs.dtype, dms.dtype, edt] + ([edt] if want_gap else []))
     B = Et.shape[0]
@@ -514,12 +573,13 @@ def _adj_fwd_kernel(ln_ref, lm_ref, zt_ref, za_ref, dx_ref, dm_ref,
 
 
 def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
-                       operator="softmax", nm=None):
+                       operator="softmax", nm=None, dtypes=None):
+    menu = _menu(dtypes)
     dxs, dms = aux
     K2, S, Bp = dxs.shape
     Kc = zt.shape[0]          # tangent streams are compact (skew_input)
     dtype = _cdt(zt.dtype)
-    ddt = D_DTYPE or dtype
+    ddt = menu.d_dtype or dtype
     T = _fit_T(T_AFWD, K2, S,
                [zt.dtype, za.dtype, dxs.dtype, dms.dtype, ddt, ddt])
     KBc = Kc // T
@@ -529,7 +589,7 @@ def adjoint_forward_bm(aux, zt, za, ln, lm, *, mode="nw",
     lo = MODE_BOUNDS[mode][2]
 
     kern = functools.partial(_adj_fwd_kernel, lo=lo, operator=operator, T=T,
-                             inv=_stream_inv(zt.dtype))
+                             inv=_stream_inv(zt.dtype, menu.stream_range))
     blk = functools.partial(_block_spec, T, S)
     vtd, dxds, dmds = pl.pallas_call(
         kern,
@@ -631,7 +691,8 @@ def _adj_bwd_kernel(ln_ref, lm_ref,
 
 
 def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
-                        operator="softmax", nm=None):
+                        operator="softmax", nm=None, dtypes=None):
+    menu = _menu(dtypes)
     dxs, dms = aux
     dxds, dmds = adj_aux
     K2, S, Bp = dxs.shape
@@ -639,7 +700,7 @@ def adjoint_backward_bm(Ediag, aux, adj_aux, ln, lm, *, mode="nw",
     # adjoint expectations (Ed/EdA) are unbounded, so the int16 fixed-
     # point E knob does not apply here: fp32 fallback (backward_bm's E
     # residual is likewise always float, so Ediag needs no dequant)
-    edt = dtype if _is_i16(E_DTYPE) else (E_DTYPE or dtype)
+    edt = dtype if _is_i16(menu.e_dtype) else (menu.e_dtype or dtype)
     T = _fit_T(T_ABWD, K2, S,
                [dxs.dtype, dms.dtype, dxds.dtype, dmds.dtype,
                 Ediag.dtype, edt, edt])
@@ -827,7 +888,8 @@ def _bwd_phase_kernel(ln_ref, lm_ref, et_ref,
     qm2_ref[...] = qm2
 
 
-def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax"):
+def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax",
+                     dtypes=None):
     """Phase-split stream decode: skew -> phased forward -> phased
     backward, returning the expected alignment as windowed segments
     ``{"seg": (per-phase arrays), "row0": (P,), "w0": (P,)}`` for
@@ -838,13 +900,14 @@ def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax"):
     is 1; values beyond saturate).  This is the only path where the
     int16 E knob applies — the training VJP's E residual is always
     float because its ``Et`` is an arbitrary cotangent."""
-    th = skew_input(theta)
-    ad = skew_input(A)
+    menu = _menu(dtypes)
+    th = skew_input(theta, dtypes=menu)
+    ad = skew_input(A, dtypes=menu)
     Kc, S, Bp = th.shape
     K2 = _unfold_dims(th)
     dtype = _cdt(th.dtype)
-    ddt = D_DTYPE or dtype
-    edt = E_DTYPE or dtype
+    ddt = menu.d_dtype or dtype
+    edt = menu.e_dtype or dtype
     T = min(_fit_T(T_FWD, K2, S, [th.dtype, ad.dtype, ddt, ddt]),
             _fit_T(T_BWD, K2, S, [ddt, ddt, edt, dtype, dtype, dtype]))
     KBc = Kc // T
@@ -865,11 +928,16 @@ def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax"):
         W = w1 - w0
         kern = functools.partial(_fwd_phase_kernel, lo=lo_f,
                                  operator=operator, T=T, k0=k0,
-                                 w0=w0, w1=w1, inv=_stream_inv(th.dtype))
+                                 w0=w0, w1=w1,
+                                 inv=_stream_inv(th.dtype,
+                                                 menu.stream_range))
         seg = functools.partial(_block_spec, T, W)
         # Element-indexed input windows: each phase only reads its static
         # valid-slot window [w0, w1) of the compact input rows (~36% fewer
-        # input bytes at square shapes; offsets are per-call constants).
+        # input bytes at square shapes).  Only the W-dim offset w0 is a
+        # per-call constant; the row offset ((k0+k)%KBc)*T and the lane
+        # offset b*LANE vary with the grid step (k-varying Element offsets
+        # — chip support gated by scripts/probe_dynamic_element.py).
         # jax>=0.9 requires every dim of an element_window block to be
         # Element — index maps then return *element* offsets for all dims.
         inw = pl.BlockSpec(
@@ -960,6 +1028,24 @@ def _stream_accessor(s, N, M):
     return lambda b, i, j: float(sd[i + j, i + 1, b])
 
 
+def _with_dtypes(menu):
+    """Backend-registry factory: rebind every dtype-sensitive function to
+    a per-call :class:`DTypeMenu` (see ops.dp._resolve_backend — only the
+    keys present in the registered dict are actually overridden, so env
+    gates / runtime pops of ``decode_stream`` stay effective)."""
+    menu = _menu(menu)
+    bind = functools.partial(functools.partial, dtypes=menu)
+    return {
+        "skew": bind(skew_input),
+        "skew_ct": bind(skew_cotangent),
+        "forward": bind(forward_bm),
+        "backward": bind(backward_bm),
+        "adjoint_forward": bind(adjoint_forward_bm),
+        "adjoint_backward": bind(adjoint_backward_bm),
+        "decode_stream": bind(decode_stream_bm),
+    }
+
+
 def register(make_default=None):
     """Register the batch-minor pallas backend with the DP dispatcher."""
     from deepblast_tpu.ops import dp
@@ -992,4 +1078,5 @@ def register(make_default=None):
         **({"decode_stream": decode_stream_bm}
            if _os.environ.get("DEEPBLAST_DECODE_STREAM", "1") != "0" else {}),
         "stream_accessor": _stream_accessor,
+        "with_dtypes": _with_dtypes,
     }, make_default=make_default)

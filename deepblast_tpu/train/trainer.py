@@ -96,9 +96,12 @@ class DeepBLASTConfig:
     # store the DP input streams (and the decode path's expectation
     # segments) in int16 fixed point (saturating at
     # ops.dp_bm.STREAM_RANGE; <2e-3 E perturbation,
-    # tests/test_i16_streams.py).  The training VJP keeps cotangent and
-    # expectation streams in float — they are unbounded — so only the
-    # input quantization touches gradients.
+    # tests/test_i16_streams.py).  On-chip gate (round 3): compiles and
+    # is exact, but measured perf-NEUTRAL vs dp_bf16_residuals alone —
+    # an accuracy-preserving storage option, not a speedup.  The
+    # training VJP keeps cotangent and expectation streams in float —
+    # they are unbounded — so only the input quantization touches
+    # gradients.
     dp_i16_streams: bool = False
     # data
     train_pairs: Optional[str] = None
@@ -143,6 +146,7 @@ class DeepBLAST:
         self.loss_fn = get_loss(config.loss)
         self.lm = lm if lm is not None else self._build_lm()
         self._ext_lm_params = lm_params
+        self.dp_dtypes = self._dp_dtype_menu(config)
         self.aligner = NeuralAligner(
             embedding_dim=config.embedding_dim,
             hidden_dim=config.hidden_dim,
@@ -154,21 +158,29 @@ class DeepBLAST:
             operator=config.operator,
             backend=config.backend,
             matmul_dtype=_PRECISION_DTYPES[config.precision],
+            dp_dtypes=self.dp_dtypes,
         )
         self.tx = self._build_optimizer()
         self.mesh = None
         self._train_step = None
         self._val_step = None
-        if config.dp_bf16_residuals:
-            # module-level knob read at trace time by the TPU kernels
-            from deepblast_tpu.ops import dp_bm
-            dp_bm.D_DTYPE = jnp.bfloat16
-        if config.dp_i16_streams:
-            from deepblast_tpu.ops import dp_bm
-            dp_bm.STREAM_DTYPE = jnp.int16
-            dp_bm.E_DTYPE = jnp.int16
 
     # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def _dp_dtype_menu(config):
+        """Per-model DP storage-dtype menu (ops.dp_bm.DTypeMenu), passed
+        through every DP call — never a module-global mutation, so two
+        models with different menus coexist in one process and the DP
+        kernel cache keys on the menu."""
+        if not (config.dp_bf16_residuals or config.dp_i16_streams):
+            return None
+        from deepblast_tpu.ops.dp_bm import DTypeMenu
+        return DTypeMenu.make(
+            stream="int16" if config.dp_i16_streams else None,
+            d="bfloat16" if config.dp_bf16_residuals else None,
+            e="int16" if config.dp_i16_streams else None,
+        )
 
     def _build_lm(self):
         c = self.config
@@ -607,7 +619,7 @@ class DeepBLAST:
             E_s = dp_ops.expected_alignment_stream(
                 theta, A, (batch["x_len"], batch["y_len"]),
                 mode=self.aligner.mode, operator=self.config.operator,
-                backend=self.config.backend)
+                backend=self.config.backend, dtypes=self.dp_dtypes)
             states = dp_ops.traceback_stream(
                 E_s, len(x_tok), len(y_tok), 0,
                 backend=self.config.backend)
@@ -626,4 +638,4 @@ class DeepBLAST:
         return dp_ops.alignment_score(
             theta, A, (batch["x_len"], batch["y_len"]),
             mode=self.aligner.mode, operator=self.config.operator,
-            backend=self.config.backend)
+            backend=self.config.backend, dtypes=self.dp_dtypes)

@@ -21,6 +21,12 @@ if [ "${WAIT:-0}" = "1" ]; then
   done
 fi
 
+echo "== probe_element_window (MANDATORY: k-varying all-Element windows =="
+echo "== — the default TPU decode path's input windows; localizes any  =="
+echo "== Mosaic regression before the composed kernels run)            =="
+timeout 3600 python scripts/probe_element_window.py | tee "$OUT/probe_element.log"
+echo "rc=$?"
+
 echo "== bench_check (parity gates at the bench config) =="
 timeout 4800 python scripts/bench_check.py | tee "$OUT/bench_check.log"
 echo "rc=$?"

@@ -8,7 +8,10 @@ take *element* start offsets from the index map, so a phase kernel could
 read (T, W, LANE) input windows at the 16-aligned per-phase offset w0.
 
 Checks (interpret mode on CPU, compiled on TPU):
-  read   — in_spec (Blocked T, Element W, Blocked LANE), constant w0
+  read   — in_spec all-Element (Element T, Element W, Element LANE) with a
+           grid-step-varying row offset k*T, per-call-constant w0, and
+           lane offset b*LANE — the exact form the phase-split decode's
+           input windows use (dp_bm.py _fwd/_bwd phase in_specs)
   write  — out_spec Element windowed store into a full-S output
   timing — windowed vs full-row stream copy at the bench shape (TPU)
 

@@ -144,12 +144,9 @@ def test_segmented_parity_i16():
     A = np.asarray(rng.standard_normal((B, N, M)) - 1.0, np.float32)
     ln = np.asarray([N, N - 5], np.int32)
     lm = np.asarray([M, M - 9], np.int32)
-    try:
-        dp_bm.E_DTYPE = jnp.int16
-        E_s = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
-                                               backend="pallas_bm")
-    finally:
-        dp_bm.E_DTYPE = None
+    E_s = dp_mod.expected_alignment_stream(
+        theta, A, (ln, lm), backend="pallas_bm",
+        dtypes=dp_bm.DTypeMenu.make(e=jnp.int16))
     segs = [np.asarray(x) for x in E_s["seg"]]
     assert all(s.dtype == np.int16 for s in segs)
     row0, w0 = np.asarray(E_s["row0"]), np.asarray(E_s["w0"])

