@@ -26,6 +26,7 @@ __all__ = [
     "tm_align_batch",
     "read_mali",
     "read_mali_mammoth",
+    "get_mali_structure_stats",
     "parse_blast_xml",
     "get_blast_alignments",
     "parse_hmmer_text",
@@ -213,6 +214,34 @@ def read_mali_mammoth(root, report_ids=False):
         df["hit_id"] = (np.arange(len(df)) + len(df)).astype(str)
         df["pdb"] = pdbs
     return df
+
+
+def get_mali_structure_stats(root, tool="manual"):
+    """Per-structure secondary-structure class counts for the manual
+    Malidup/Malisam PDBs under ``root`` (reference:
+    deepblast/dataset/parse_mali.py:113-161).
+
+    The reference shells out to ``mkdssp`` via Bio.PDB.DSSP; here the
+    Kabsch-Sander assignment is built in
+    (:mod:`deepblast_tpu.data.dssp`), so there is no binary or Biopython
+    dependency.  Output matches the reference row shape: one row per
+    PDB whose filename contains ``tool``, with ``x<class>`` count
+    columns (DSSP 8-letter classes, '-' = coil), ``pdb``, ``path``, and
+    ``xlen``."""
+    from deepblast_tpu.data.dssp import secondary_structure_counts
+
+    rows = []
+    for path, _, files in os.walk(root):
+        for f in sorted(files):
+            if ".pdb" in f and tool in f:
+                fname = os.path.join(path, f)
+                counts, length = secondary_structure_counts(fname)
+                stats = {f"x{k}": v for k, v in sorted(counts.items())}
+                stats["pdb"] = os.path.basename(f).split(".")[0]
+                stats["path"] = fname
+                stats["xlen"] = length
+                rows.append(stats)
+    return pd.DataFrame(rows)
 
 
 # ---------------------------------------------------------------------------
