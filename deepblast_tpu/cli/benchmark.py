@@ -13,7 +13,25 @@ import json
 import time
 
 
-def run_config(B, N, M, mode, backend, depth, iters, reps=4):
+def make_menu(name):
+    """Named storage-dtype menus (see ops/dp_bm.py DTypeMenu)."""
+    if name in (None, "fp32"):
+        return None
+    import jax.numpy as jnp
+
+    from deepblast_tpu.ops.dp_bm import DTypeMenu
+    return {
+        # the --dp-bf16-residuals training config
+        "d-bf16": DTypeMenu.make(d=jnp.bfloat16),
+        # everything 16-bit that passes its gate (inference/bench only)
+        "all-bf16": DTypeMenu.make(stream=jnp.bfloat16, d=jnp.bfloat16,
+                                   e=jnp.bfloat16),
+        "i16": DTypeMenu.make(stream=jnp.int16, d=jnp.bfloat16,
+                              e=jnp.int16),
+    }[name]
+
+
+def run_config(B, N, M, mode, backend, depth, iters, reps=4, dtypes=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,22 +48,26 @@ def run_config(B, N, M, mode, backend, depth, iters, reps=4):
     if depth == "fwd":
         def op(theta, A, _eps=0.0):
             return dp_ops.alignment_score(
-                theta, A, (ln, lm), mode=mode, backend=backend)
+                theta, A, (ln, lm), mode=mode, backend=backend,
+                dtypes=dtypes)
     elif depth == "fwd+bwd":
         def op(theta, A, _eps=0.0):
             return dp_ops.expected_alignment(
-                theta, A, (ln, lm), mode=mode, backend=backend)
+                theta, A, (ln, lm), mode=mode, backend=backend,
+                dtypes=dtypes)
     elif depth == "decode":
         # the inference product path (what bench.py times): expected
         # alignment in the backend-native stream layout, no unskew
         def op(theta, A, _eps=0.0):
             return dp_ops.expected_alignment_stream(
-                theta, A, (ln, lm), mode=mode, backend=backend)
+                theta, A, (ln, lm), mode=mode, backend=backend,
+                dtypes=dtypes)
     else:  # train: gradient through the decode (2nd-order path)
         def op(theta, A, _eps=0.0):
             def loss(t, a):
                 E = dp_ops.expected_alignment(
-                    t, a, (ln, lm), mode=mode, backend=backend)
+                    t, a, (ln, lm), mode=mode, backend=backend,
+                    dtypes=dtypes)
                 return jnp.sum(E * E)
             return jax.grad(loss, argnums=(0, 1))(theta, A)
 
@@ -67,7 +89,13 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--length", type=int, default=512)
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--dtype-menu", default="fp32",
+                        choices=["fp32", "d-bf16", "all-bf16", "i16"],
+                        help="storage-dtype menu for the pallas_bm "
+                             "kernels (d-bf16 = the --dp-bf16-residuals "
+                             "training config)")
     args = parser.parse_args(argv)
+    dtypes = make_menu(args.dtype_menu)
 
     if args.sweep == "batch":
         configs = [(b, 800, 800) for b in (4, 8, 16, 32, 64, 128, 256)]
@@ -79,7 +107,8 @@ def main(argv=None):
 
     for B, N, M in configs:
         res = run_config(B, N, M, args.mode, args.backend, args.depth,
-                         args.iters)
+                         args.iters, dtypes=dtypes)
+        res["dtype_menu"] = args.dtype_menu
         print(json.dumps(res))
     return 0
 
