@@ -35,6 +35,18 @@ echo "== probe_i16_streams (int16 fixed-point dtype menu) =="
 timeout 5400 python scripts/probe_i16_streams.py | tee "$OUT/probe_i16.log"
 echo "rc=$?"
 
+echo "== probe_dbf16_ei16 (missing dtype-table cell: D=bf16 + E=i16) =="
+timeout 5400 python scripts/probe_dbf16_ei16.py | tee "$OUT/probe_dbf16_ei16.log"
+echo "rc=$?"
+
+echo "== probe_i16_cost (where the int16 input path loses its byte win) =="
+timeout 3600 python scripts/probe_i16_cost.py | tee "$OUT/probe_i16_cost.log"
+echo "rc=$?"
+
+echo "== probe_fused_read (fused natural-read fwd: VERDICT r2 item 10) =="
+timeout 5400 python scripts/probe_fused_read.py | tee "$OUT/probe_fused_read.log"
+echo "rc=$?"
+
 echo "== probe_phase_sweep (DECODE_PHASES knee; honors DEEPBLAST_BENCH_I16) =="
 timeout 5400 python scripts/probe_phase_sweep.py | tee "$OUT/probe_phases.log"
 echo "rc=$?"
