@@ -63,21 +63,22 @@ def main():
         # streams store in bf16 — they are O(1)-range, costing ~4e-3 abs
         # error on E with >98% greedy-traceback agreement at this scale
         # (test-covered: tests/test_bf16_streams.py, and on chip at the
-        # exact bench shapes by scripts/bench_check.py).  Inputs and the
-        # E output stay fp32: the round-3 on-chip gate
-        # (scripts/probe_i16_streams.py) found int16 fixed point compiles
-        # and is EXACT (agreement 1.0) but measured perf-NEUTRAL — the
-        # D-bf16-only menu was fastest (51.1k vs 46.8k aligns/s for the
-        # full i16 menu, docs/PERF_NOTES.md round 3) — so D-bf16-only is
-        # the measured-best menu, not a fallback.  DEEPBLAST_BENCH_I16=1
-        # still selects the full i16 menu for comparison runs.
+        # exact bench shapes by scripts/bench_check.py).  The E segments
+        # store int16 *fixed point* (scale 32767, E in [0, 1]): exact
+        # traceback agreement on chip and measured faster (53.3k vs
+        # 51.2k aligns/s; scripts/probe_dbf16_ei16.py, round 3).  Inputs
+        # stay fp32: int16 inputs compile and are exact but measured
+        # perf-neutral — the quantize/dequantize path eats the byte
+        # saving (probe_i16_streams + probe_i16_cost, PERF_NOTES round
+        # 3).  DEEPBLAST_BENCH_I16=1 still selects the full i16 menu
+        # for comparison runs.
         from deepblast_tpu.ops.dp_bm import DTypeMenu
         if os.environ.get("DEEPBLAST_BENCH_I16"):
             dtypes = DTypeMenu.make(stream="int16", d="bfloat16", e="int16")
             menu_desc = "in=i16 D=bf16 E=i16"
         else:
-            dtypes = DTypeMenu.make(d="bfloat16")
-            menu_desc = "D=bf16"
+            dtypes = DTypeMenu.make(d="bfloat16", e="int16")
+            menu_desc = "D=bf16 E=i16"
     B, N, M = (256, 512, 512) if on_tpu else (8, 64, 64)
 
     rng = np.random.default_rng(0)

@@ -119,6 +119,26 @@ def test_i16_bench_menu_stream_decode():
         assert agree >= 0.97, f"pair {b}: {agree}"
 
 
+def test_bench_default_menu_stream_decode():
+    """The bench.py default menu (D=bf16 + E=i16, fp32 inputs — the
+    measured-best decode menu on chip, scripts/probe_dbf16_ei16.py):
+    int16 segments, traceback agreement vs the fp32 natural walk."""
+    menu = DTypeMenu.make(d="bfloat16", e="int16")
+    theta, A, ln, lm = _problem(B=3, N=40, M=36, seed=11)
+    N, M = 40, 36
+    E32 = np.asarray(dp_mod.expected_alignment(
+        theta, A, (ln, lm), backend="pallas_bm"))
+    out = dp_mod.expected_alignment_stream(
+        theta, A, (ln, lm), backend="pallas_bm", dtypes=menu)
+    assert all(s.dtype == jnp.int16 for s in out["seg"])
+    for b in range(theta.shape[0]):
+        ts = dp_mod.traceback_stream(out, N, M, b, backend="pallas_bm")
+        t32 = dp_mod.traceback(E32[b])
+        n = max(len(ts), len(t32))
+        agree = sum(x == y for x, y in zip(ts, t32)) / n
+        assert agree >= 0.97, f"pair {b}: {agree}"
+
+
 def test_i16_saturation_is_clipped():
     """Inputs beyond +-stream_range saturate (no integer wraparound):
     decode stays finite and E stays a valid expectation."""
