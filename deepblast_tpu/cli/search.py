@@ -47,6 +47,11 @@ def main(argv=None):
 
     mesh = None
     dp = 1
+    # jit the scorer in BOTH paths: eager score_pairs dispatches each op
+    # separately (~31 ms tunnel RTT each — measured 860 ms/batch vs
+    # <10 ms jitted at the bench_search shapes).  Params ride as explicit
+    # jit args, never closure constants (XLA constant-folds large
+    # closures through layout ops; CLAUDE.md gotcha).
     if args.mesh == "auto" and len(jax.devices()) > 1:
         from deepblast_tpu.parallel import mesh as mesh_lib
         dp = len(jax.devices())  # flush() pads the batch up to dp shards
@@ -57,12 +62,14 @@ def main(argv=None):
             if model.state.lm_params is not None else None
         bsh = mesh_lib.batch_sharding(mesh)
 
-        # params as explicit jit args (never closure constants —
-        # XLA constant-folds large closures through layout ops)
-        @jax.jit
-        def _score(params, lm_params, batch):
-            state = SimpleNamespace(params=params, lm_params=lm_params)
-            return model.score_pairs(state, batch)
+    else:
+        params = model.state.params
+        lm_params = model.state.lm_params
+
+    @jax.jit
+    def _score(params, lm_params, batch):
+        state = SimpleNamespace(params=params, lm_params=lm_params)
+        return model.score_pairs(state, batch)
 
     def _pad_bucketed(seqs):
         # bucket padded lengths so batch shapes repeat and the jitted
@@ -86,9 +93,7 @@ def main(argv=None):
                      x_len=jnp.asarray(xl), y_len=jnp.asarray(yl))
         if mesh is not None:
             batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
-            scores = np.asarray(_score(params, lm_params, batch))[:n]
-        else:
-            scores = np.asarray(model.score_pairs(model.state, batch))
+        scores = np.asarray(_score(params, lm_params, batch))[:n]
         for it, s, ql, dl in zip(items, scores, xl, yl):
             norm = s / (float(ql) * float(dl))
             out.write(f"{it['qid']}\t{it['dbid']}\t"
