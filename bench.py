@@ -110,6 +110,10 @@ def main():
                   "falling back to monolithic kernels", flush=True)
             dp_ops.get_backend(backend)[1].pop("decode_stream", None)
             path = "monolithic-fallback"
+            # the int16 E knob only applies to the phase-split decode
+            # (backward_bm forces float E storage for the generic VJP
+            # path) — keep the artifact honest about what actually ran
+            menu_desc = menu_desc.replace("E=i16", "E=fp32")
 
     # The same compiled program measures bimodally through the tunnel
     # (~3.2 ms vs ~5.0 ms at the bench config, each time_op call landing

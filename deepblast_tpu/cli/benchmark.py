@@ -96,6 +96,18 @@ def main(argv=None):
                              "training config)")
     args = parser.parse_args(argv)
     dtypes = make_menu(args.dtype_menu)
+    menu_label = args.dtype_menu
+    if dtypes is not None:
+        # storage-dtype menus only apply to backends that register a
+        # with_dtypes factory (pallas_bm); label the artifact honestly
+        # when the selected backend ignores the request
+        from deepblast_tpu.ops.dp import get_backend
+        _, be = get_backend(args.backend)
+        if "with_dtypes" not in be:
+            print(f"# --dtype-menu {args.dtype_menu} ignored: backend "
+                  "has no storage-dtype support (fp32)", flush=True)
+            dtypes = None
+            menu_label = f"{args.dtype_menu} (ignored: fp32 backend)"
 
     if args.sweep == "batch":
         configs = [(b, 800, 800) for b in (4, 8, 16, 32, 64, 128, 256)]
@@ -108,7 +120,7 @@ def main(argv=None):
     for B, N, M in configs:
         res = run_config(B, N, M, args.mode, args.backend, args.depth,
                          args.iters, dtypes=dtypes)
-        res["dtype_menu"] = args.dtype_menu
+        res["dtype_menu"] = menu_label
         print(json.dumps(res))
     return 0
 

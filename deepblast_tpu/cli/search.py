@@ -81,7 +81,9 @@ def main(argv=None):
             toks = np.pad(toks, ((0, 0), (0, L - toks.shape[1])))
         return toks, lens
 
-    def flush(items, out):
+    def dispatch(items):
+        """Tokenize, pad, and launch one scoring batch (async dispatch —
+        jax returns before the device finishes)."""
         n = len(items)
         its = items
         if mesh is not None and n % dp:
@@ -93,21 +95,36 @@ def main(argv=None):
                      x_len=jnp.asarray(xl), y_len=jnp.asarray(yl))
         if mesh is not None:
             batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
-        scores = np.asarray(_score(params, lm_params, batch))[:n]
+        return items, _score(params, lm_params, batch), xl, yl
+
+    def drain(pending, out):
+        # the device-to-host readback happens one batch late, so host
+        # tokenization of batch k+1 overlaps device compute of batch k
+        # (the trainer's deferred-loss-readback pattern)
+        items, dev_scores, xl, yl = pending
+        scores = np.asarray(dev_scores)[:len(items)]
         for it, s, ql, dl in zip(items, scores, xl, yl):
             norm = s / (float(ql) * float(dl))
             out.write(f"{it['qid']}\t{it['dbid']}\t"
                       f"{np.round(s, 4)}\t{np.round(norm, 4)}\n")
 
     with open(args.output_file, "w") as out:
-        items = []
+        items, pending = [], None
         for item in ds:
             items.append(item)
             if len(items) == args.batch_size:
-                flush(items, out)
+                launched = dispatch(items)
+                if pending is not None:
+                    drain(pending, out)
+                pending = launched
                 items = []
         if items:
-            flush(items, out)
+            launched = dispatch(items)
+            if pending is not None:
+                drain(pending, out)
+            pending = launched
+        if pending is not None:
+            drain(pending, out)
     return 0
 
 

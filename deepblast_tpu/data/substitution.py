@@ -106,7 +106,8 @@ def simulate_blosum_pairs(n_pairs, seed=0, min_len=30, max_len=80,
     geometrically with ``gap_extend``; gap residues draw from the
     background.  Returns the 8-column TM-align frame consumed by
     ``TMAlignDataset`` (names, tm1, tm2, rmsd, chain1, chain2, states)
-    with ':' match / '1' x-gap / '2' y-gap state strings."""
+    with ':' match / '1' y-gap (x advances) / '2' x-gap (y advances)
+    state strings — the ``tmstate_f`` convention."""
     rng = np.random.default_rng(seed)
     q = _joint()
     flat = q.reshape(-1)
