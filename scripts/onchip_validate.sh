@@ -64,9 +64,10 @@ echo "== ProtT5-XL len-1024 geometry fit (VERDICT r1 item 7) =="
 timeout 3000 python scripts/check_prot_t5_xl.py | tee "$OUT/t5xl.log"
 echo "rc=$?"
 
-# Optional/moot: k-varying Element offsets.  The design question it was
-# built for is settled analytically (PERF_NOTES "Dynamic Element offsets
-# do NOT unlock output folding") — run only if chip time remains.
-echo "== probe_dynamic_element (optional; k-varying Element offsets) =="
+# k-varying Element offsets: RECORDED on chip (round 3) — read/write
+# OK+exact (the decode's default-path capability, ADVICE r2 medium item),
+# folded-output variant crashes the remote compiler (PERF_NOTES "Dynamic
+# Element offsets").  Keep as a regression canary for toolchain bumps.
+echo "== probe_dynamic_element (regression canary; k-varying Element offsets) =="
 timeout 3600 python scripts/probe_dynamic_element.py | tee "$OUT/probe_dyn_element.log"
 echo "rc=$?"
