@@ -171,8 +171,14 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True,
     be = _resolve_backend(_BACKENDS[backend], dtypes)
 
     def _run_forward(theta, A, ln, lm):
-        thetad = be["skew"](theta)
-        Ad = be["skew"](A)
+        # fused dual relayout when the backend has one (dp_bm: one
+        # pallas_call for both potentials — two serialized calls measure
+        # worse than the sum of their standalone times)
+        if "skew_pair" in be:
+            thetad, Ad = be["skew_pair"](theta, A)
+        else:
+            thetad = be["skew"](theta)
+            Ad = be["skew"](A)
         return be["forward"](thetad, Ad, ln, lm, mode=mode, operator=operator)
 
     # -- level 2: the expected-alignment (gradient) map --------------------
@@ -212,8 +218,11 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True,
         # they must not pass through a saturating fixed-point skew: use
         # the backend's float cotangent skew when it has one
         skew_ct = be.get("skew_ct", be["skew"])
-        Ztd = skew_ct(Zt)
-        ZAd = skew_ct(Za) if Za is not None else jnp.zeros_like(Ztd)
+        if Za is not None and "skew_ct_pair" in be:
+            Ztd, ZAd = be["skew_ct_pair"](Zt, Za)
+        else:
+            Ztd = skew_ct(Zt)
+            ZAd = skew_ct(Za) if Za is not None else jnp.zeros_like(Ztd)
         # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
         vtd, adj_aux = be["adjoint_forward"](
             aux, Ztd, ZAd, ln, lm, mode=mode, operator=operator, nm=(N, M))
@@ -330,8 +339,11 @@ def expected_alignment_stream(theta, A, lengths=None, Et=None, *, mode="nw",
         # phase-split triangle-windowed decode (see dp_bm.decode_stream_bm)
         return be["decode_stream"](theta, A, ln, lm, Et,
                                    mode=mode, operator=operator)
-    _, aux = be["forward"](be["skew"](theta), be["skew"](A), ln, lm,
-                           mode=mode, operator=operator)
+    if "skew_pair" in be:
+        thd, Ad = be["skew_pair"](theta, A)
+    else:
+        thd, Ad = be["skew"](theta), be["skew"](A)
+    _, aux = be["forward"](thd, Ad, ln, lm, mode=mode, operator=operator)
     Ediag, _ = be["backward"](Et, aux, ln, lm, mode=mode, operator=operator,
                               want_gap=False, nm=(N, M))
     return Ediag

@@ -66,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepblast_tpu.ops import smooth
 from deepblast_tpu.ops.dp_scan import MODE_BOUNDS
-from deepblast_tpu.ops.skew_bm import skew_bm, unskew_bm
+from deepblast_tpu.ops.skew_bm import skew_bm, skew_bm_pair, unskew_bm
 
 __all__ = [
     "DTypeMenu",
@@ -296,6 +296,35 @@ def skew_input(x, dtypes=None):
     sdt = menu.stream_dtype
     scale = 32767.0 / menu.stream_range if _is_i16(sdt) else None
     return skew_bm(x, out_dtype=sdt, compact=True, quant_scale=scale)
+
+
+def skew_input_pair(x, y, dtypes=None):
+    """Fused :func:`skew_input` for the (theta, A) pair — one pallas_call
+    with two in/out refs instead of two serialized calls.  Opt-in
+    (``DEEPBLAST_SKEW_PAIR=1``): on chip the fused form wins standalone
+    at the mins (1.19 vs 1.49 ms fp32) but shows no end-to-end decode win
+    and never reached the fast timing window across 6 interleaved rounds
+    (docs/PERF_NOTES.md round 3, probe_skew_pair), so two single calls
+    stay the default."""
+    if _os.environ.get("DEEPBLAST_SKEW_PAIR", "0") == "0":
+        return skew_input(x, dtypes=dtypes), skew_input(y, dtypes=dtypes)
+    menu = _menu(dtypes)
+    sdt = menu.stream_dtype
+    scale = 32767.0 / menu.stream_range if _is_i16(sdt) else None
+    return skew_bm_pair(x, y, out_dtype=sdt, compact=True,
+                        quant_scale=scale)
+
+
+def skew_cotangent_pair(x, y, dtypes=None):
+    """Fused :func:`skew_cotangent` for the (Zt, Za) cotangent pair
+    (float storage only — same int16 exclusion as the single form).
+    Opt-in like :func:`skew_input_pair`."""
+    if _os.environ.get("DEEPBLAST_SKEW_PAIR", "0") == "0":
+        return (skew_cotangent(x, dtypes=dtypes),
+                skew_cotangent(y, dtypes=dtypes))
+    sdt = _menu(dtypes).stream_dtype
+    odt = None if _is_i16(sdt) else sdt
+    return skew_bm_pair(x, y, out_dtype=odt, compact=True)
 
 
 def skew_cotangent(x, dtypes=None):
@@ -901,8 +930,7 @@ def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax",
     int16 E knob applies — the training VJP's E residual is always
     float because its ``Et`` is an arbitrary cotangent."""
     menu = _menu(dtypes)
-    th = skew_input(theta, dtypes=menu)
-    ad = skew_input(A, dtypes=menu)
+    th, ad = skew_input_pair(theta, A, dtypes=menu)
     Kc, S, Bp = th.shape
     K2 = _unfold_dims(th)
     dtype = _cdt(th.dtype)
@@ -937,7 +965,8 @@ def decode_stream_bm(theta, A, ln, lm, Et, *, mode="nw", operator="softmax",
         # input bytes at square shapes).  Only the W-dim offset w0 is a
         # per-call constant; the row offset ((k0+k)%KBc)*T and the lane
         # offset b*LANE vary with the grid step (k-varying Element offsets
-        # — chip support gated by scripts/probe_dynamic_element.py).
+        # — confirmed compile+exact on chip, scripts/probe_dynamic_element.py
+        # round 3; kept in onchip_validate.sh as a toolchain-bump canary).
         # jax>=0.9 requires every dim of an element_window block to be
         # Element — index maps then return *element* offsets for all dims.
         inw = pl.BlockSpec(
@@ -1037,7 +1066,9 @@ def _with_dtypes(menu):
     bind = functools.partial(functools.partial, dtypes=menu)
     return {
         "skew": bind(skew_input),
+        "skew_pair": bind(skew_input_pair),
         "skew_ct": bind(skew_cotangent),
+        "skew_ct_pair": bind(skew_cotangent_pair),
         "forward": bind(forward_bm),
         "backward": bind(backward_bm),
         "adjoint_forward": bind(adjoint_forward_bm),
@@ -1059,7 +1090,9 @@ def register(make_default=None):
             make_default = False
     dp.register_backend("pallas_bm", {
         "skew": skew_input,
+        "skew_pair": skew_input_pair,
         "skew_ct": skew_cotangent,
+        "skew_ct_pair": skew_cotangent_pair,
         "unskew": unskew_output,
         "forward": forward_bm,
         "backward": backward_bm,

@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["skew_bm", "unskew_bm", "bm_dims"]
+__all__ = ["skew_bm", "skew_bm_pair", "unskew_bm", "bm_dims"]
 
 LANE = 128
 CH = 8  # slot chunk = sublane quantum; BlockSpec middle dims require 8
@@ -117,19 +117,14 @@ def _roll(x, shift, axis):
 # skew: (B, N, M) -> (K2, S, Bp)
 # ---------------------------------------------------------------------------
 
-def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype, scale=None):
-    g = pl.program_id(1)
+def _emit_stream(xb, o_ref, carry, *, base, KH, M, dtype, scale):
+    """Shear one ``(128, CH, M)`` input block into its ``(KH, CH, 128)``
+    stream block (shared by the single- and pair-skew kernels).
 
-    @pl.when(g == 0)
-    def _():
-        carry[...] = jnp.zeros_like(carry)
-
-    # rolls run in the input dtype — traced pltpu.roll on bf16 crashes
-    # this toolchain's compiler (probed) — and the store casts to o_ref
+    Rolls run in the input dtype — traced pltpu.roll on bf16 crashes
+    this toolchain's compiler (probed) — and the store casts to o_ref."""
     odt = o_ref.dtype
-    xb = x_ref[...]                                   # (128, CH, M)
     prev = carry[...]                                 # (M, 128)
-    base = (g * CH + KH - 1) % KH                     # (CH*g - 1) mod KH
     z = jnp.zeros((KH - M, LANE), dtype) if KH > M else None
 
     def rolled_plane(t, plane):
@@ -152,6 +147,49 @@ def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype, scale=None):
     else:
         for t, p in enumerate(planes):
             o_ref[:, t, :] = rolled_plane(t, p)
+
+
+def _skew_kernel(x_ref, o_ref, carry, *, KH, M, dtype, scale=None):
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    base = (g * CH + KH - 1) % KH                     # (CH*g - 1) mod KH
+    _emit_stream(x_ref[...], o_ref, carry,
+                 base=base, KH=KH, M=M, dtype=dtype, scale=scale)
+
+
+def _skew_pair_kernel(x_ref, y_ref, ox_ref, oy_ref, cx, cy, *,
+                      KH, M, dtype, scale=None):
+    """Fused dual skew: both potentials (theta, A) sheared in ONE kernel.
+
+    Motivation (docs/PERF_NOTES.md round 3, probe_fwd_i16): two
+    back-to-back single-skew pallas_calls measure *worse* than the sum
+    of their standalone times (2.33 vs 0.76 ms for the int16 stores) —
+    XLA schedules them serially with no DMA overlap between the second
+    call's input fetch and the first's compute.  One kernel with two
+    in/out refs keeps the same bytes but lets the pipeline overlap the
+    two streams and halves the grid/dispatch overhead.
+
+    Measured on chip (probe_skew_pair, round 3): bit-exact vs singles
+    under every menu; standalone fused wins at the mins (fp32 1.19 vs
+    1.49 ms) but shows NO end-to-end decode win (and the fused decode
+    never reached the fast timing window in 6 interleaved rounds), so
+    the fused form is opt-in (``DEEPBLAST_SKEW_PAIR=1``)."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        cx[...] = jnp.zeros_like(cx)
+        cy[...] = jnp.zeros_like(cy)
+
+    base = (g * CH + KH - 1) % KH
+    _emit_stream(x_ref[...], ox_ref, cx,
+                 base=base, KH=KH, M=M, dtype=dtype, scale=scale)
+    _emit_stream(y_ref[...], oy_ref, cy,
+                 base=base, KH=KH, M=M, dtype=dtype, scale=scale)
 
 
 def skew_bm(x, Bp=None, out_dtype=None, compact=False, quant_scale=None):
@@ -200,6 +238,45 @@ def skew_bm(x, Bp=None, out_dtype=None, compact=False, quant_scale=None):
         compiler_params=_params(),
         interpret=_interpret(),
     )(x)
+
+
+def skew_bm_pair(x, y, Bp=None, out_dtype=None, compact=False,
+                 quant_scale=None):
+    """Fused dual relayout: ``skew_bm(x), skew_bm(y)`` in one pallas_call
+    (same layout/dtype contract for both operands; see
+    :func:`_skew_pair_kernel` for why fusing beats two calls)."""
+    if x.shape != y.shape:
+        raise ValueError(f"pair shapes differ: {x.shape} vs {y.shape}")
+    B, N, M = x.shape
+    Np, Mp, S, K2 = bm_dims(N, M)
+    KH = Mp if compact else K2
+    odt = out_dtype or x.dtype
+    if Bp is None:
+        Bp = _ru(B, LANE)
+    if (B, N) != (Bp, Np):
+        pad = ((0, Bp - B), (0, Np - N), (0, 0))
+        x = jnp.pad(x, pad)
+        y = jnp.pad(y, pad)
+    kern = functools.partial(_skew_pair_kernel, KH=KH, M=M, dtype=x.dtype,
+                             scale=quant_scale)
+    nx = Np // CH
+    in_spec = pl.BlockSpec(
+        (LANE, CH, M),
+        lambda gb, g: (gb, jnp.minimum(g, nx - 1), 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (KH, CH, LANE), lambda gb, g: (0, g, gb),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(Bp // LANE, S // CH),
+        in_specs=[in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((KH, S, Bp), odt)] * 2,
+        scratch_shapes=[pltpu.VMEM((M, LANE), x.dtype)] * 2,
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x, y)
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,11 @@ NQ, NDB = 4, 1024
 ON_TPU = jax.default_backend() == "tpu"
 if not ON_TPU:
     NQ, NDB = 2, 8
+# Scoring batch size: through the tunnel each batch pays ~6 host round
+# trips (~31 ms each), so steady-state throughput scales almost linearly
+# with batch size until device compute catches up (measured 208.6 pairs/s
+# at 64 -> see PERF_NOTES for the 256 point).
+BS = int(os.environ.get("DEEPBLAST_SEARCH_BS", 64))
 
 
 def write_fasta(path, n, seed, lo=100, hi=250):
@@ -75,7 +80,7 @@ def main():
     args = ["--query-fasta", q, "--db-fasta", db,
             "--load-from-checkpoint", out,
             "--output-file", os.path.join(root, "hits.tsv"),
-            "--batch-size", "64", "--pad-multiple", "64"]
+            "--batch-size", str(BS), "--pad-multiple", "64"]
     t0 = time.time()
     assert search_main(args) == 0
     warm_s = time.time() - t0
@@ -91,6 +96,7 @@ def main():
         "pairs": n_pairs, "warm_s": round(warm_s, 1),
         "steady_s": round(hot_s, 1),
         "pairs_per_s": round(n_pairs / hot_s, 1),
+        "batch_size": BS,
         "backend": "pallas_bm" if ON_TPU else "scan",
     }))
 

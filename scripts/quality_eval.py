@@ -281,7 +281,8 @@ def main():
         "wall_s": round(time.time() - t0, 1),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "quality_r03.json")
+        os.path.abspath(__file__))), "docs",
+        os.environ.get("DEEPBLAST_QUALITY_OUT", "quality_r03.json"))
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -6,7 +6,8 @@ import pytest
 import jax.numpy as jnp
 
 from deepblast_tpu.ops.skew import skew
-from deepblast_tpu.ops.skew_bm import bm_dims, skew_bm, unskew_bm
+from deepblast_tpu.ops.skew_bm import (
+    bm_dims, skew_bm, skew_bm_pair, unskew_bm)
 
 
 def _rand(B, N, M, seed=0):
@@ -62,6 +63,32 @@ def test_skew_bm_compact_fold(B, N, M):
             if 0 <= d + 1 - sl < M:
                 np.testing.assert_array_equal(
                     compact[d % Mp, sl, :B], padded[d, sl, :B])
+
+
+@pytest.mark.parametrize("B,N,M", [
+    (2, 16, 16), (3, 8, 24), (2, 17, 13), (2, 160, 96),
+])
+@pytest.mark.parametrize("kw", [
+    {},
+    {"compact": True},
+    {"compact": True, "out_dtype": jnp.bfloat16},
+    {"compact": True, "out_dtype": jnp.int16, "quant_scale": 4096.0},
+])
+def test_skew_bm_pair_matches_two_singles(B, N, M, kw):
+    """The fused dual skew is bit-identical to two single calls under
+    every storage menu (fp32 / compact / bf16 / int16 fixed point)."""
+    x = _rand(B, N, M, seed=4)
+    y = _rand(B, N, M, seed=5) - 1.0
+    sx, sy = skew_bm_pair(x, y, **kw)
+    np.testing.assert_array_equal(np.asarray(sx),
+                                  np.asarray(skew_bm(x, **kw)))
+    np.testing.assert_array_equal(np.asarray(sy),
+                                  np.asarray(skew_bm(y, **kw)))
+
+
+def test_skew_bm_pair_rejects_shape_mismatch():
+    with pytest.raises(ValueError):
+        skew_bm_pair(_rand(2, 16, 16), _rand(2, 16, 24))
 
 
 def test_unskew_bm_rejects_mismatched_stream():
