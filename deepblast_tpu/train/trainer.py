@@ -103,6 +103,13 @@ class DeepBLASTConfig:
     # they are unbounded — so only the input quantization touches
     # gradients.
     dp_i16_streams: bool = False
+    # decode/inference storage menu for align(): "default" inherits the
+    # training menu above; "fast" selects the measured-best decode menu
+    # (D=bf16 + int16 fixed-point E segments — 53.3k vs 51.2k aligns/s
+    # on chip, traceback agreement 0.9996 at the bench shapes; gated by
+    # scripts/bench_check.py).  Decode-only: training gradients and
+    # score_pairs are untouched.
+    dp_decode_menu: str = "default"
     # data
     train_pairs: Optional[str] = None
     valid_pairs: Optional[str] = None
@@ -147,6 +154,8 @@ class DeepBLAST:
         self.lm = lm if lm is not None else self._build_lm()
         self._ext_lm_params = lm_params
         self.dp_dtypes = self._dp_dtype_menu(config)
+        self.dp_decode_dtypes = self._dp_decode_dtype_menu(config,
+                                                           self.dp_dtypes)
         self.aligner = NeuralAligner(
             embedding_dim=config.embedding_dim,
             hidden_dim=config.hidden_dim,
@@ -181,6 +190,19 @@ class DeepBLAST:
             d="bfloat16" if config.dp_bf16_residuals else None,
             e="int16" if config.dp_i16_streams else None,
         )
+
+    @staticmethod
+    def _dp_decode_dtype_menu(config, train_menu):
+        """Decode-path menu for :meth:`align` (see
+        ``DeepBLASTConfig.dp_decode_menu``)."""
+        if config.dp_decode_menu == "default":
+            return train_menu
+        if config.dp_decode_menu == "fast":
+            from deepblast_tpu.ops.dp_bm import DTypeMenu
+            return DTypeMenu.make(d="bfloat16", e="int16")
+        raise ValueError(
+            f"unknown dp_decode_menu {config.dp_decode_menu!r} "
+            "(expected 'default' or 'fast')")
 
     def _build_lm(self):
         c = self.config
@@ -619,7 +641,8 @@ class DeepBLAST:
             E_s = dp_ops.expected_alignment_stream(
                 theta, A, (batch["x_len"], batch["y_len"]),
                 mode=self.aligner.mode, operator=self.config.operator,
-                backend=self.config.backend, dtypes=self.dp_dtypes)
+                backend=self.config.backend,
+                dtypes=self.dp_decode_dtypes)
             states = dp_ops.traceback_stream(
                 E_s, len(x_tok), len(y_tok), 0,
                 backend=self.config.backend)

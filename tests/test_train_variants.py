@@ -146,3 +146,30 @@ def test_dp_dtype_menus_isolated_per_model():
     a16 = m16.align("HEAGAWGHEE", "PAWHEAE", state=s16)
     a32 = m32.align("HEAGAWGHEE", "PAWHEAE", state=s32)
     assert set(a16) <= set(":12") and set(a32) <= set(":12")
+
+
+def test_dp_decode_menu_fast_matches_default():
+    """--dp-decode-menu fast: align() decodes through the measured-best
+    storage menu (D=bf16 + int16 fixed-point E) without touching the
+    training menu; at test scales the traceback matches the fp32 decode
+    exactly."""
+    cfg_fast = DeepBLASTConfig(dp_decode_menu="fast",
+                               backend="pallas_bm", **BASE)
+    cfg_def = DeepBLASTConfig(backend="pallas_bm", **BASE)
+    m_fast = DeepBLAST(cfg_fast)
+    m_def = DeepBLAST(cfg_def)
+    assert m_fast.dp_dtypes is None          # training menu untouched
+    assert m_fast.dp_decode_dtypes.d == "bfloat16"
+    assert m_fast.dp_decode_dtypes.e == "int16"
+    assert m_def.dp_decode_dtypes is None
+    s = m_fast.init()
+    a_fast = m_fast.align("HEAGAWGHEE", "PAWHEAE", state=s)
+    a_def = m_def.align("HEAGAWGHEE", "PAWHEAE", state=s)
+    assert a_fast == a_def
+
+
+def test_dp_decode_menu_rejects_unknown():
+    import pytest as _pytest
+    cfg = DeepBLASTConfig(dp_decode_menu="nope", **BASE)
+    with _pytest.raises(ValueError):
+        DeepBLAST(cfg)
