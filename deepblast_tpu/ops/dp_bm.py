@@ -103,6 +103,13 @@ STREAM_DTYPE = None   # skewed potential/tangent streams th_s/A_s/Zt_s/Za_s
 D_DTYPE = None        # difference residual streams Dx/Dm/Dxd/Dmd
 E_DTYPE = None        # expectation streams E / Ed / EA / EdA
 
+# Fused dual-skew relayout gate, snapshot at import (like
+# skew_bm.STRATEGY): reading the env var lazily at trace time made
+# mid-process toggles silently ineffective behind dp._build's lru_cache
+# and jit (ADVICE r3).  Probes/tests that flip it mid-process must set
+# this module attribute AND clear dp._build's cache.
+SKEW_PAIR = _os.environ.get("DEEPBLAST_SKEW_PAIR", "0") == "1"
+
 # int16 *fixed-point* storage (decode-path dtype menu, round 2.5): where
 # bf16's 8-bit mantissa broke the traceback-agreement gate (inputs ~83%,
 # E ~63% — near-tie walk comparisons) and fp16 does not compile on this
@@ -306,7 +313,7 @@ def skew_input_pair(x, y, dtypes=None):
     and never reached the fast timing window across 6 interleaved rounds
     (docs/PERF_NOTES.md round 3, probe_skew_pair), so two single calls
     stay the default."""
-    if _os.environ.get("DEEPBLAST_SKEW_PAIR", "0") == "0":
+    if not SKEW_PAIR:
         return skew_input(x, dtypes=dtypes), skew_input(y, dtypes=dtypes)
     menu = _menu(dtypes)
     sdt = menu.stream_dtype
@@ -319,7 +326,7 @@ def skew_cotangent_pair(x, y, dtypes=None):
     """Fused :func:`skew_cotangent` for the (Zt, Za) cotangent pair
     (float storage only — same int16 exclusion as the single form).
     Opt-in like :func:`skew_input_pair`."""
-    if _os.environ.get("DEEPBLAST_SKEW_PAIR", "0") == "0":
+    if not SKEW_PAIR:
         return (skew_cotangent(x, dtypes=dtypes),
                 skew_cotangent(y, dtypes=dtypes))
     sdt = _menu(dtypes).stream_dtype

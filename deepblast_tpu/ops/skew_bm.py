@@ -247,6 +247,10 @@ def skew_bm_pair(x, y, Bp=None, out_dtype=None, compact=False,
     :func:`_skew_pair_kernel` for why fusing beats two calls)."""
     if x.shape != y.shape:
         raise ValueError(f"pair shapes differ: {x.shape} vs {y.shape}")
+    if x.dtype != y.dtype:
+        # the kernel rolls y in x.dtype and the output dtype defaults to
+        # x.dtype — a silent cast would diverge from two skew_bm calls
+        raise ValueError(f"pair dtypes differ: {x.dtype} vs {y.dtype}")
     B, N, M = x.shape
     Np, Mp, S, K2 = bm_dims(N, M)
     KH = Mp if compact else K2

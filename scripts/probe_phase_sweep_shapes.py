@@ -47,12 +47,14 @@ def decode_with_p(P):
 def main():
     arms = {P: decode_with_p(P) for P in PS}
     times = {P: [] for P in PS}
-    for rnd in range(4):
-        for P, f in arms.items():
-            dt = time_op(f, theta, A, reps=4, iters=3)
-            times[P].append(round(dt * 1e3, 2))
-            print(rnd, P, times[P][-1], flush=True)
-    dp_bm.DECODE_PHASES = 8
+    try:
+        for rnd in range(4):
+            for P, f in arms.items():
+                dt = time_op(f, theta, A, reps=4, iters=3)
+                times[P].append(round(dt * 1e3, 2))
+                print(rnd, P, times[P][-1], flush=True)
+    finally:
+        dp_bm.DECODE_PHASES = 8
     out = {P: {"ms": ts, "min_ms": min(ts),
                "min_aligns_per_s": round(B / (min(ts) / 1e3))}
            for P, ts in times.items()}

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepblast_tpu.ops import dp as dp_ops
+from deepblast_tpu.ops import dp_bm
 from deepblast_tpu.ops.dp_bm import DTypeMenu
 from deepblast_tpu.ops.skew_bm import skew_bm, skew_bm_pair
 from deepblast_tpu.utils.timing import time_op
@@ -64,7 +65,7 @@ def fused(kw):
 
 def decode(menu, pair):
     def f(t, a, _eps=0.0):
-        os.environ["DEEPBLAST_SKEW_PAIR"] = "1" if pair else "0"
+        dp_bm.SKEW_PAIR = pair  # import-time snapshot; see dp_bm.SKEW_PAIR
         return dp_ops.expected_alignment_stream(
             t, a, (ln, lm), mode="nw", backend="pallas_bm", dtypes=menu)
     return f

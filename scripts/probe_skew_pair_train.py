@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepblast_tpu.ops import dp as dp_ops
+from deepblast_tpu.ops import dp_bm
 from deepblast_tpu.ops.dp_bm import DTypeMenu
 from deepblast_tpu.utils.timing import time_op
 
@@ -38,8 +39,8 @@ lm = jnp.full((B,), M, jnp.int32)
 
 def grad_step(pair):
     def f(t, a, _eps=0.0):
-        os.environ["DEEPBLAST_SKEW_PAIR"] = "1" if pair else "0"
-        dp_ops._build.cache_clear()  # env is read at trace time
+        dp_bm.SKEW_PAIR = pair  # import-time snapshot; see dp_bm.SKEW_PAIR
+        dp_ops._build.cache_clear()  # attr is read at trace time
 
         def loss(t, a):
             E, EA = dp_ops.expected_alignment(

@@ -114,9 +114,9 @@ def test_end_to_end_backend_parity():
 def test_fused_skew_pair_optin_parity(monkeypatch):
     """DEEPBLAST_SKEW_PAIR=1 routes the (theta, A) and (Zt, Za) relayouts
     through the fused dual-skew kernel — values and gradients must match
-    the default single-call prelude exactly (both trace fresh: the env
-    flag is read at trace time, so the lru_cache key must not alias; we
-    clear it to force a re-trace under the flag)."""
+    the default single-call prelude exactly (both trace fresh: the gate
+    is an import-time snapshot read at trace time, so the lru_cache key
+    must not alias; we clear it to force a re-trace under the flag)."""
     rng = np.random.default_rng(5)
     B, N, M = 2, 6, 5
     theta, A, ln, lm = _problem(rng, B, N, M)
@@ -128,12 +128,12 @@ def test_fused_skew_pair_optin_parity(monkeypatch):
         return jnp.sum(E * W)
 
     l0, g0 = jax.value_and_grad(f, argnums=(0, 1))(theta, A)
-    monkeypatch.setenv("DEEPBLAST_SKEW_PAIR", "1")
+    monkeypatch.setattr(dp_bm, "SKEW_PAIR", True)
     dp_mod._build.cache_clear()
     try:
         l1, g1 = jax.value_and_grad(f, argnums=(0, 1))(theta, A)
     finally:
-        monkeypatch.delenv("DEEPBLAST_SKEW_PAIR")
+        monkeypatch.setattr(dp_bm, "SKEW_PAIR", False)
         dp_mod._build.cache_clear()
     np.testing.assert_allclose(l1, l0, rtol=0, atol=0)
     np.testing.assert_allclose(g1[0], g0[0], rtol=0, atol=0)

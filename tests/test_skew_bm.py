@@ -91,6 +91,15 @@ def test_skew_bm_pair_rejects_shape_mismatch():
         skew_bm_pair(_rand(2, 16, 16), _rand(2, 16, 24))
 
 
+def test_skew_bm_pair_rejects_dtype_mismatch():
+    # the kernel would otherwise silently cast y to x.dtype, diverging
+    # from what two skew_bm calls produce (ADVICE r3)
+    import jax.numpy as jnp
+    with pytest.raises(ValueError):
+        skew_bm_pair(_rand(2, 16, 16),
+                     _rand(2, 16, 16).astype(jnp.bfloat16))
+
+
 def test_unskew_bm_rejects_mismatched_stream():
     x = _rand(2, 16, 24, seed=2)
     s = skew_bm(x)
