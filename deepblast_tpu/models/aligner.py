@@ -66,17 +66,30 @@ class NeuralAligner(nn.Module):
         self.match_embedding = build_head(self.layer_type, **kw)
         self.gap_embedding = build_head(self.layer_type, **kw)
 
-    def blosum_factor(self, hx, deterministic=True):
+    def blosum_factor(self, hx, lengths=None, deterministic=True):
         """Head features for one side (reference:
-        deepblast/alignment.py:81-97, sans the in-module LM call)."""
-        zx = self.match_embedding(hx, deterministic=deterministic)
-        gx = self.gap_embedding(hx, deterministic=deterministic)
+        deepblast/alignment.py:81-97, sans the in-module LM call).
+
+        ``lengths`` makes the features *padding-invariant*: the stacked
+        heads mix neighbouring positions (conv receptive field / reverse
+        RNN), so without masking, features at the last few true positions
+        depend on the pad width and pad content — scores then change with
+        batch composition and length bucketing.  The reference has the
+        same leak (its StackedCNN convolves the padded batch buffer,
+        deepblast/embedding.py:152-168); here it is fixed and
+        test-covered (tests/test_cli.py::test_search_cli_bucket_parity,
+        tests/test_models.py)."""
+        zx = self.match_embedding(hx, lengths=lengths,
+                                  deterministic=deterministic)
+        gx = self.gap_embedding(hx, lengths=lengths,
+                                deterministic=deterministic)
         return zx, gx
 
-    def potentials(self, hx, hy, deterministic=True):
+    def potentials(self, hx, hy, lengths=None, deterministic=True):
         """Match and gap potential matrices ``(B, N, M)``."""
-        zx, gx = self.blosum_factor(hx, deterministic)
-        zy, gy = self.blosum_factor(hy, deterministic)
+        ln, lm = lengths if lengths is not None else (None, None)
+        zx, gx = self.blosum_factor(hx, ln, deterministic)
+        zy, gy = self.blosum_factor(hy, lm, deterministic)
         if self.matmul_dtype is not None:
             dt = jnp.dtype(self.matmul_dtype)
             zx, zy, gx, gy = (v.astype(dt) for v in (zx, zy, gx, gy))
@@ -91,7 +104,7 @@ class NeuralAligner(nn.Module):
     def __call__(self, hx, hy, lengths=None, deterministic=True):
         """Returns ``(aln, theta, A)`` like the reference forward
         (reference: deepblast/alignment.py:99-125)."""
-        theta, A = self.potentials(hx, hy, deterministic)
+        theta, A = self.potentials(hx, hy, lengths, deterministic)
         aln = dp_ops.expected_alignment(
             theta, A, lengths, mode=self.mode, operator=self.operator,
             backend=self.backend, dtypes=self.dp_dtypes)
@@ -100,7 +113,7 @@ class NeuralAligner(nn.Module):
     def score(self, hx, hy, lengths=None):
         """Terminal alignment scores (reference:
         deepblast/alignment.py:127-137)."""
-        theta, A = self.potentials(hx, hy, deterministic=True)
+        theta, A = self.potentials(hx, hy, lengths, deterministic=True)
         return dp_ops.alignment_score(
             theta, A, lengths, mode=self.mode, operator=self.operator,
             backend=self.backend, dtypes=self.dp_dtypes)

@@ -1,10 +1,18 @@
 """Match/gap embedding heads (reference: deepblast/embedding.py).
 
 Flax re-designs of the reference's PackedSequence-aware torch modules.  All
-heads map padded LM embeddings ``(B, L, D)`` to head features ``(B, L, F)``;
-padding positions produce garbage that downstream consumers mask by length
+heads map padded LM embeddings ``(B, L, D)`` to head features ``(B, L, F)``
 (the TPU-friendly replacement for PackedSequence plumbing,
 reference: deepblast/dataset/utils.py:214-251).
+
+Heads that mix neighbouring positions (conv stacks, reverse RNNs) take
+``lengths`` and mask padding so features at *true* positions are invariant
+to pad width and pad content — without this, the last ``layers*(k-1)/2``
+positions of every sequence change with batch composition and length
+bucketing (the reference has this leak: its StackedCNN convolves the padded
+batch buffer, deepblast/embedding.py:152-168; fixed here, test-covered by
+tests/test_cli.py::test_search_cli_bucket_parity).  Feature values at pad
+positions are still garbage; downstream DP consumers mask by length.
 
 Note the reference's argument-shift quirk: ``DeepBLAST`` passes positional
 args so that the ``--layers`` hyper-parameter lands in ``StackedCNN``'s
@@ -22,9 +30,23 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _length_mask(x, lengths):
+    """(B, L, 1) mask of true positions, or None when lengths is None."""
+    if lengths is None:
+        return None
+    L = x.shape[-2]
+    return (jnp.arange(L)[None, :] < lengths[:, None])[..., None] \
+        .astype(x.dtype)
+
+
 class StackedCNN(nn.Module):
     """Linear embed -> n x [Conv1d(k, same) + ReLU] -> dropout
-    (reference: deepblast/embedding.py:129-169)."""
+    (reference: deepblast/embedding.py:129-169).
+
+    With ``lengths``, pad positions are zeroed before every conv so each
+    conv's boundary reads zeros regardless of buffer width — identical to
+    what 'SAME' padding supplies past the buffer edge, hence features at
+    true positions are pad-invariant."""
 
     features: int
     layers: int = 2
@@ -32,9 +54,12 @@ class StackedCNN(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, lengths=None, deterministic: bool = True):
+        mask = _length_mask(x, lengths)
         h = nn.Dense(x.shape[-1], name="embed")(x)
         for i in range(self.layers):
+            if mask is not None:
+                h = h * mask
             h = nn.Conv(self.features, (self.k_size,), padding="SAME",
                         name=f"conv{i}")(h)
             h = nn.relu(h)
@@ -69,12 +94,13 @@ class StackedRNN(nn.Module):
 
 class LinearHead(nn.Module):
     """Single linear head, the ``n_layers == 1`` branch of the reference
-    aligner (reference: deepblast/alignment.py:63-65)."""
+    aligner (reference: deepblast/alignment.py:63-65).  Position-local, so
+    ``lengths`` is accepted for interface parity and ignored."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, lengths=None, deterministic: bool = True):
         return nn.Dense(self.features)(x)
 
 

@@ -637,6 +637,7 @@ class DeepBLAST:
             hx, hy = self._embeddings(state.params, state.lm_params, batch)
             theta, A = self.aligner.apply(
                 {"params": state.params["aligner"]}, hx, hy,
+                (batch["x_len"], batch["y_len"]),
                 method=NeuralAligner.potentials)
             E_s = dp_ops.expected_alignment_stream(
                 theta, A, (batch["x_len"], batch["y_len"]),
@@ -657,6 +658,7 @@ class DeepBLAST:
         hx, hy = self._embeddings(state.params, state.lm_params, batch)
         theta, A = self.aligner.apply(
             {"params": state.params["aligner"]}, hx, hy,
+            (batch["x_len"], batch["y_len"]),
             method=NeuralAligner.potentials)
         return dp_ops.alignment_score(
             theta, A, (batch["x_len"], batch["y_len"]),

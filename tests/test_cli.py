@@ -79,6 +79,39 @@ def test_search_cli(trained_dir):
         assert np.isfinite(float(s)) and np.isfinite(float(ns))
 
 
+def test_search_cli_bucket_parity(trained_dir):
+    """Per-pair scores must not depend on how pairs are bucketed: a
+    fine --pad-multiple (each length its own bucket) and a coarse one
+    (everything shares one padded shape) must agree, and every pair must
+    appear exactly once regardless of flush order."""
+    root, out, _ = trained_dir
+    q = root / "qb.fasta"
+    db = root / "dbb.fasta"
+    q.write_text(">q1\nACDEFGHIKL\n>q2\nMNPQRSTVWYACDEFGHIKLMNPQRSTVWY\n")
+    db.write_text(">d1\nACDEFGHIKL\n>d2\nTVWYACDETVWYACDETVWYACDE\n"
+                  ">d3\nACD\n")
+    from deepblast_tpu.cli.search import main
+
+    def run(pm, path):
+        rc = main(["--query-fasta", str(q), "--db-fasta", str(db),
+                   "--load-from-checkpoint", str(out),
+                   "--output-file", str(path), "--batch-size", "2",
+                   "--pad-multiple", str(pm)])
+        assert rc == 0
+        rows = {}
+        for line in path.read_text().strip().split("\n"):
+            qid, did, s, ns = line.split("\t")
+            rows[(qid, did)] = float(s)
+        return rows
+
+    fine = run(8, root / "hits_fine.tsv")
+    coarse = run(256, root / "hits_coarse.tsv")
+    assert set(fine) == set(coarse) and len(fine) == 6
+    for k in fine:
+        np.testing.assert_allclose(fine[k], coarse[k], rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_benchmark_cli_smoke(capsys):
     from deepblast_tpu.cli.benchmark import main
     rc = main(["--sweep", "headline", "--length", "16", "--batch-size", "2",

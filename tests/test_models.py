@@ -26,6 +26,32 @@ def test_stacked_rnn_shapes():
     assert y.shape == (2, 7, 12)
 
 
+@pytest.mark.parametrize("head", ["cnn", "rnn"])
+def test_heads_pad_invariant(head):
+    """Features at true positions must not depend on pad width or pad
+    content — conv stacks read layers*(k-1)/2 positions past each row's
+    end, reverse RNNs read the whole buffer (the reference leaks both,
+    deepblast/embedding.py:85-168)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 10, 6)).astype(np.float32)
+    lengths = jnp.asarray([10, 7])
+    m = (StackedCNN(features=16, layers=2, k_size=5) if head == "cnn"
+         else StackedRNN(hidden=8, features=16, layers=2))
+    # narrow buffer, zero pads vs wide buffer, junk pads
+    xa = np.pad(x, ((0, 0), (0, 2), (0, 0)))
+    xb = np.pad(x, ((0, 0), (0, 22), (0, 0)))
+    xb[:, 10:, :] = rng.standard_normal((2, 22, 6))
+    xb[1, 7:, :] = rng.standard_normal((25, 6))
+    xa[1, 7:10, :] = 3.0  # junk INSIDE the narrow buffer past row 1's end
+    params = m.init(jax.random.key(0), jnp.asarray(xa), lengths)
+    ya = m.apply(params, jnp.asarray(xa), lengths)
+    yb = m.apply(params, jnp.asarray(xb), lengths)
+    for b, L in enumerate([10, 7]):
+        np.testing.assert_allclose(np.asarray(ya)[b, :L],
+                                   np.asarray(yb)[b, :L],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_bilm_encode_shapes_and_masking():
     m = BiLM(nin=22, nout=21, embedding_dim=8, hidden_dim=8, num_layers=2)
     tok = jnp.asarray(np.random.default_rng(0).integers(0, 21, (2, 9)))
