@@ -243,6 +243,19 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True,
     def score(theta, A, lnf, lmf):
         ln = lnf.astype(jnp.int32)
         lm = lmf.astype(jnp.int32)
+        if "forward_score" in be:
+            # score-only kernel: no residual-stream writes.  Safe here
+            # because this primal has no reverse consumer — when score IS
+            # differentiated, _score_bwd recomputes through `expected`
+            # (whose forward writes the streams); XLA could never DCE the
+            # stores out of the full kernel's single pallas_call itself.
+            if "skew_pair" in be:
+                thetad, Ad = be["skew_pair"](theta, A)
+            else:
+                thetad = be["skew"](theta)
+                Ad = be["skew"](A)
+            return be["forward_score"](thetad, Ad, ln, lm, mode=mode,
+                                       operator=operator)
         vt, _ = _run_forward(theta, A, ln, lm)
         return vt
 

@@ -454,6 +454,93 @@ def forward_bm(th, ad, ln, lm, *, mode="nw", operator="softmax", nm=None,
     return vt[0, :B], (dxs, dms)
 
 
+def _fwd_score_kernel(ln_ref, lm_ref, th_ref, ad_ref,
+                      vt_ref, v1, v2, *, lo, operator, T, inv=None):
+    """Score-only forward: identical recurrence to :func:`_fwd_kernel`
+    but no Dx/Dm stores — the kernel's only output is the (8, Bp)
+    terminal-score accumulator, so HBM traffic collapses to the input
+    stream reads (~1/3 of the residual-writing forward's bytes at the
+    bench shapes)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        v1[...] = jnp.zeros_like(v1)
+        v2[...] = jnp.zeros_like(v2)
+        vt_ref[...] = jnp.zeros_like(vt_ref)
+
+    S = v1.shape[0]
+    iarr = jax.lax.broadcasted_iota(jnp.int32, (S, LANE), 0)
+    ln = ln_ref[...]
+    lm = lm_ref[...]
+    v1v = v1[...]
+    v2v = v2[...]
+    dt = v1v.dtype
+    acc = jnp.zeros((1, LANE), vt_ref.dtype)
+    for t in range(T):
+        d = k * T + t + 2
+        ash = _deq(ad_ref[t].astype(dt), inv)
+        dx = _shr(v1v) - v1v
+        dm = _shr(v2v) - ash - v1v
+        rel, _ = smooth.max3(operator, dx, dm, jnp.zeros_like(dx))
+        vnew = _deq(th_ref[t].astype(dt), inv) + ash + v1v + rel
+        valid, term = _masks(iarr, d, ln, lm, lo)
+        zero = jnp.zeros((), vnew.dtype)
+        vnew = jnp.where(valid, vnew, zero)
+        acc += jnp.sum(jnp.where(term, vnew, zero), axis=0, keepdims=True)
+        v2v = v1v
+        v1v = vnew
+    vt_ref[...] += acc
+    v2[...] = v2v
+    v1[...] = v1v
+
+
+def forward_score_bm(th, ad, ln, lm, *, mode="nw", operator="softmax",
+                     nm=None, dtypes=None):
+    """Terminal score ``vt`` ONLY — the serving/search hot path.
+
+    :func:`forward_bm` must write the two (K2, S, Bp) difference streams
+    for its reverse consumers; a pure scoring call (``jit`` without
+    ``grad``: deepblast-search, score_pairs) has no reverse consumer, but
+    XLA cannot dead-code the stores out of the same pallas_call.  This
+    variant drops them at the kernel level; the custom_vjp primal in
+    ops.dp dispatches here while every differentiated path keeps the
+    full forward (reference analogue: the score path runs the forward
+    kernel alone, deepblast/alignment.py:127-137)."""
+    menu = _menu(dtypes)
+    Kc, S, Bp = th.shape
+    K2 = _unfold_dims(th)
+    dtype = _cdt(th.dtype)
+    T = _fit_T(T_FWD, K2, S, [th.dtype, ad.dtype])
+    KBc = Kc // T
+    B = ln.shape[0]
+    lnp = _pad_vec(ln, Bp, jnp.int32)
+    lmp = _pad_vec(lm, Bp, jnp.int32)
+    lo = MODE_BOUNDS[mode][0]
+
+    kern = functools.partial(_fwd_score_kernel, lo=lo, operator=operator,
+                             T=T,
+                             inv=_stream_inv(th.dtype, menu.stream_range))
+    blk = functools.partial(_block_spec, T, S)
+    vt = pl.pallas_call(
+        kern,
+        grid=(Bp // LANE, K2 // T),
+        in_specs=[
+            _len_spec(), _len_spec(),
+            blk(lambda k: k % KBc), blk(lambda k: k % KBc),
+        ],
+        out_specs=_vt_spec(),
+        out_shape=jax.ShapeDtypeStruct((8, Bp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((S, LANE), dtype),
+            pltpu.VMEM((S, LANE), dtype),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(lnp, lmp, th, ad)
+    return vt[0, :B]
+
+
 # ---------------------------------------------------------------------------
 # backward (expected alignment), recomputing Q from (Dx, Dm)
 # ---------------------------------------------------------------------------
@@ -1077,6 +1164,7 @@ def _with_dtypes(menu):
         "skew_ct": bind(skew_cotangent),
         "skew_ct_pair": bind(skew_cotangent_pair),
         "forward": bind(forward_bm),
+        "forward_score": bind(forward_score_bm),
         "backward": bind(backward_bm),
         "adjoint_forward": bind(adjoint_forward_bm),
         "adjoint_backward": bind(adjoint_backward_bm),
@@ -1102,6 +1190,7 @@ def register(make_default=None):
         "skew_ct_pair": skew_cotangent_pair,
         "unskew": unskew_output,
         "forward": forward_bm,
+        "forward_score": forward_score_bm,
         "backward": backward_bm,
         "adjoint_forward": adjoint_forward_bm,
         "adjoint_backward": adjoint_backward_bm,

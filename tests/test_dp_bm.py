@@ -140,6 +140,32 @@ def test_fused_skew_pair_optin_parity(monkeypatch):
     np.testing.assert_allclose(g1[1], g0[1], rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("mode", ["nw", "sw"])
+def test_score_only_forward_parity(mode):
+    """Undifferentiated alignment_score dispatches to the score-only
+    forward kernel (forward_score_bm: no residual-stream writes) — it
+    must match the scan oracle exactly where the full kernel does, and
+    agree with the residual-writing forward (grad path) on the same
+    inputs."""
+    rng = np.random.default_rng(11)
+    B, N, M = 3, 7, 6
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    vt_s = dp_mod.alignment_score(theta, A, (ln, lm), mode=mode,
+                                  backend="scan")
+    vt_p = dp_mod.alignment_score(theta, A, (ln, lm), mode=mode,
+                                  backend="pallas_bm")
+    np.testing.assert_allclose(np.asarray(vt_p), np.asarray(vt_s),
+                               rtol=1e-5, atol=1e-5)
+
+    # value under grad (full forward) must equal the score-only value
+    def s(theta, A):
+        return jnp.sum(dp_mod.alignment_score(
+            theta, A, (ln, lm), mode=mode, backend="pallas_bm"))
+    v_full, _ = jax.value_and_grad(s)(theta, A)
+    np.testing.assert_allclose(float(v_full), float(jnp.sum(vt_p)),
+                               rtol=1e-5)
+
+
 def test_second_order_score_parity():
     """grad-of-grad of the terminal score through the bm backend vs scan —
     the reference's gradgradcheck analogue (tests/test_nw.py:69-79) and
