@@ -35,6 +35,12 @@ def main(argv=None):
     parser.add_argument("--mesh", choices=["auto", "none"], default="auto",
                         help="shard scoring batches over the data axis of "
                              "a device mesh when >1 device is visible")
+    parser.add_argument("--no-length-buckets", action="store_true",
+                        help="disable per-length batch bucketing (single "
+                             "accumulator padded to each batch's max; "
+                             "useful for A/B measurement — bucketing "
+                             "trades a few extra launches for less "
+                             "padded compute)")
     parser.add_argument("--pad-multiple", type=int, default=64,
                         help="round padded sequence lengths up to this "
                              "multiple so batch shapes bucket and the "
@@ -96,6 +102,8 @@ def main(argv=None):
         # batch never pads short pairs up to an unrelated long pair's
         # length — at len 100-250 with pm=64 a mixed batch pays max-len
         # compute for every row; bucketed batches pay their own length
+        if args.no_length_buckets:
+            return (0, 0)
         return (-(-len(item["x"]) // pm) * pm,
                 -(-len(item["y"]) // pm) * pm)
 
@@ -130,26 +138,38 @@ def main(argv=None):
             out.write(f"{it['qid']}\t{it['dbid']}\t"
                       f"{np.round(s, 4)}\t{np.round(norm, 4)}\n")
 
+    from collections import deque
+
     with open(args.output_file, "w") as out:
-        buckets, pending = {}, None
+        # a 2-deep in-flight queue: host collate of batch k+2 overlaps
+        # device compute of k+1 while k's readback completes — per-launch
+        # host round trips dominate tunnel-attached scans
+        buckets, inflight = {}, deque()
+
+        def launch(items):
+            if len(inflight) >= 2:
+                drain(inflight.popleft(), out)
+            inflight.append(dispatch(items))
+
         for item in ds:
             k = bucket_key(item)
             b = buckets.setdefault(k, [])
             b.append(item)
             if len(b) >= args.batch_size:
-                launched = dispatch(b)
-                if pending is not None:
-                    drain(pending, out)
-                pending = launched
+                launch(b)
                 buckets[k] = []
-        for b in buckets.values():  # partial buckets at end of scan
-            if b:
-                launched = dispatch(b)
-                if pending is not None:
-                    drain(pending, out)
-                pending = launched
-        if pending is not None:
-            drain(pending, out)
+        # End-of-scan leftovers: flushing each partial bucket separately
+        # costs one fixed-overhead launch per bucket; instead merge them
+        # all, sorted longest-first so chunks stay near-homogeneous, and
+        # launch ceil(n/batch_size) packed batches (each pads to its own
+        # chunk max — _pad_bucketed rounds to the same bucket grid, so
+        # no new program shapes are introduced beyond the grid).
+        left = [it for b in buckets.values() for it in b]
+        left.sort(key=bucket_key, reverse=True)
+        for i in range(0, len(left), args.batch_size):
+            launch(left[i:i + args.batch_size])
+        while inflight:
+            drain(inflight.popleft(), out)
     return 0
 
 

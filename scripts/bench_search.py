@@ -87,6 +87,14 @@ def main():
     t0 = time.time()
     assert search_main(args) == 0
     hot_s = time.time() - t0
+    # A/B: single-accumulator batching (each batch padded to its own
+    # max) — bucketing trades a few extra launches for less padded
+    # compute; through the tunnel the per-launch RTTs can dominate
+    nb_args = args + ["--no-length-buckets"]
+    assert search_main(nb_args) == 0  # warm the unbucketed programs
+    t0 = time.time()
+    assert search_main(nb_args) == 0
+    nb_s = time.time() - t0
 
     n_pairs = NQ * NDB
     with open(os.path.join(root, "hits.tsv")) as f:
@@ -96,6 +104,8 @@ def main():
         "pairs": n_pairs, "warm_s": round(warm_s, 1),
         "steady_s": round(hot_s, 1),
         "pairs_per_s": round(n_pairs / hot_s, 1),
+        "nobucket_steady_s": round(nb_s, 1),
+        "nobucket_pairs_per_s": round(n_pairs / nb_s, 1),
         "batch_size": BS,
         "backend": "pallas_bm" if ON_TPU else "scan",
     }))
