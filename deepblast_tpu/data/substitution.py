@@ -25,6 +25,9 @@ __all__ = [
     "blosum62_matrix",
     "substitution_theta",
     "simulate_blosum_pairs",
+    "simulate_hmm_pairs",
+    "sample_hmm_sequences",
+    "hmm_state_emissions",
 ]
 
 AA20 = "ARNDCQEGHILKMFPSTWYV"
@@ -137,5 +140,103 @@ def simulate_blosum_pairs(n_pairs, seed=0, min_len=30, max_len=80,
                 states.append(":")
                 c += 1
         rows.append([f"sim{k}x", f"sim{k}y", 0.9, 0.9, 1.0,
+                     "".join(x), "".join(y), "".join(states)])
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Context-structured simulation: hidden secondary-structure-like states
+# ---------------------------------------------------------------------------
+
+# A 3-state (helix/strand/loop-like) Markov chain over alignment columns.
+# Residue emissions are the BLOSUM62 background reweighted by per-state
+# propensity boosts (helix-formers, strand-formers, loop-formers), so
+# neighbouring residues carry mutual information — unlike the i.i.d.
+# columns of :func:`simulate_blosum_pairs`, a language model CAN learn
+# context here, which is what makes the pretrained-LM quality leg
+# measurable (scripts/quality_bilm.py).
+HMM_STATES = "HEL"
+HMM_INIT = np.array([0.40, 0.25, 0.35])
+HMM_TRANS = np.array([
+    [0.92, 0.02, 0.06],
+    [0.03, 0.88, 0.09],
+    [0.10, 0.12, 0.78],
+])
+_STATE_BOOST = {"H": "AELMQKRH", "E": "VIYCWFT", "L": "GNPSD"}
+
+
+def hmm_state_emissions(boost=4.0):
+    """(3, 20) per-state residue distributions (AA20 order)."""
+    out = []
+    for s in HMM_STATES:
+        w = BLOSUM62_FREQS.copy()
+        for ch in _STATE_BOOST[s]:
+            w[AA20.index(ch)] *= boost
+        out.append(w / w.sum())
+    return np.stack(out)
+
+
+def sample_hmm_sequences(n, seed=0, min_len=30, max_len=80, boost=4.0):
+    """Single sequences from the hidden-state chain (LM pretraining
+    corpus — same marginal process as :func:`simulate_hmm_pairs`)."""
+    rng = np.random.default_rng(seed)
+    em = hmm_state_emissions(boost)
+    seqs = []
+    for _ in range(n):
+        L = int(rng.integers(min_len, max_len + 1))
+        s = rng.choice(3, p=HMM_INIT)
+        chars = []
+        for _ in range(L):
+            chars.append(AA20[rng.choice(20, p=em[s])])
+            s = rng.choice(3, p=HMM_TRANS[s])
+        seqs.append("".join(chars))
+    return seqs
+
+
+def simulate_hmm_pairs(n_pairs, seed=0, min_len=30, max_len=80,
+                       gap_open=0.04, gap_extend=0.35, boost=4.0):
+    """Aligned pairs over the hidden-state chain.
+
+    Per match column in state ``s``: ``a ~ p_s`` and ``b ~ q(b | a)``
+    (the BLOSUM62 conditional), so pairs are substitution-coupled like
+    :func:`simulate_blosum_pairs` but the x-side (and hence both sides)
+    carries Markov context.  Gap-run residues draw from the current
+    state's emission distribution.  Returns the same 8-column TM-align
+    frame, ':'/'1'/'2' state strings (``tmstate_f`` convention)."""
+    rng = np.random.default_rng(seed)
+    em = hmm_state_emissions(boost)
+    cond = _joint()
+    cond = cond / cond.sum(axis=1, keepdims=True)
+    rows = []
+    for k in range(n_pairs):
+        n_cols = int(rng.integers(min_len, max_len + 1))
+        s = rng.choice(3, p=HMM_INIT)
+        x, y, states = [], [], []
+        c = 0
+        while c < n_cols:
+            r = rng.random()
+            if r < gap_open and c > 0:            # x-gap run (y advances)
+                glen = int(rng.geometric(1.0 - gap_extend))
+                for _ in range(min(glen, n_cols - c)):
+                    y.append(AA20[rng.choice(20, p=em[s])])
+                    states.append("2")
+                    s = rng.choice(3, p=HMM_TRANS[s])
+                    c += 1
+            elif r < 2 * gap_open and c > 0:      # y-gap run (x advances)
+                glen = int(rng.geometric(1.0 - gap_extend))
+                for _ in range(min(glen, n_cols - c)):
+                    x.append(AA20[rng.choice(20, p=em[s])])
+                    states.append("1")
+                    s = rng.choice(3, p=HMM_TRANS[s])
+                    c += 1
+            else:
+                a = rng.choice(20, p=em[s])
+                b = rng.choice(20, p=cond[a])
+                x.append(AA20[a])
+                y.append(AA20[b])
+                states.append(":")
+                s = rng.choice(3, p=HMM_TRANS[s])
+                c += 1
+        rows.append([f"hmm{k}x", f"hmm{k}y", 0.9, 0.9, 1.0,
                      "".join(x), "".join(y), "".join(states)])
     return pd.DataFrame(rows)

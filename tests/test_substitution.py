@@ -85,3 +85,45 @@ def test_trainable_dataset_roundtrip():
     assert len(ds) == 8
     item = ds[0]
     assert item["aln"].shape == (len(item["x"]), len(item["y"]))
+
+
+def test_simulate_hmm_pairs_frame_valid():
+    """The HMM-context generator emits the same 8-column frame contract
+    as simulate_blosum_pairs: state strings advance x on ':'/'1' and y
+    on ':'/'2' to exactly the emitted lengths, and it feeds
+    TMAlignDataset unchanged."""
+    from deepblast_tpu.data import ProtT5Tokenizer, TMAlignDataset
+    from deepblast_tpu.data.substitution import simulate_hmm_pairs
+    df = simulate_hmm_pairs(16, seed=7)
+    for _, row in df.iterrows():
+        x, y, st = row.iloc[5], row.iloc[6], row.iloc[7]
+        assert len(x) == sum(c in ":1" for c in st)
+        assert len(y) == sum(c in ":2" for c in st)
+    ds = TMAlignDataset(df, tokenizer=ProtT5Tokenizer())
+    item = ds[0]
+    assert item["aln"].shape == (len(item["x"]), len(item["y"]))
+
+
+def test_hmm_sequences_carry_context():
+    """Neighbouring residues must carry mutual information (the whole
+    point of the HMM corpus: a language model can beat the unigram floor
+    on it; on the i.i.d. corpus it cannot)."""
+    from deepblast_tpu.data.substitution import (
+        AA20, sample_hmm_sequences)
+    seqs = sample_hmm_sequences(400, seed=9)
+    i = {a: k for k, a in enumerate(AA20)}
+    uni = np.zeros(20)
+    big = np.zeros((20, 20))
+    for s in seqs:
+        ids = np.asarray([i[c] for c in s])
+        np.add.at(uni, ids, 1)
+        np.add.at(big, (ids[:-1], ids[1:]), 1)
+    uni = uni / uni.sum()
+    big = big / big.sum()
+    # mutual information of adjacent pairs, in nats
+    mi = 0.0
+    for a in range(20):
+        for b in range(20):
+            if big[a, b] > 0:
+                mi += big[a, b] * np.log(big[a, b] / (uni[a] * uni[b]))
+    assert mi > 0.02, mi
