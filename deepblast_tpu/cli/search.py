@@ -7,13 +7,17 @@ and ``--mesh auto`` (the default), scoring batches are sharded over the
 ``data`` axis of a device mesh — parameters replicated, pairs split —
 so database scans scale across a TPU slice the same way training does.
 
-Batch formation is length-bucketed: pairs accumulate per
-(padded-x-len, padded-y-len) bucket and flush when a bucket fills, so
-short pairs never pay a long pair's padded compute and every bucket
-compiles exactly one fixed-shape program (tail flushes replicate their
-last row instead of triggering ragged-shape recompiles).  Output rows
-therefore appear in flush order, not strict input order — the TSV is a
-score table, not a stream.
+Batch formation supports optional length bucketing (``--length-buckets``):
+pairs accumulate per (padded-x-len, padded-y-len) bucket and flush when
+a bucket fills, so short pairs never pay a long pair's padded compute
+and every bucket compiles exactly one fixed-shape program (tail flushes
+replicate their last row instead of triggering ragged-shape recompiles).
+Off by default: through a high-RTT tunnel the per-launch host round
+trips dominate scan cost, and fewer launches beat less padded compute
+(measured 353.8 vs 151.4 pairs/s at the bench_search config —
+docs/PERF_NOTES.md round 4).  With bucketing on, output rows appear in
+flush order, not strict input order — the TSV is a score table, not a
+stream.
 """
 
 from __future__ import annotations
@@ -35,12 +39,16 @@ def main(argv=None):
     parser.add_argument("--mesh", choices=["auto", "none"], default="auto",
                         help="shard scoring batches over the data axis of "
                              "a device mesh when >1 device is visible")
-    parser.add_argument("--no-length-buckets", action="store_true",
-                        help="disable per-length batch bucketing (single "
-                             "accumulator padded to each batch's max; "
-                             "useful for A/B measurement — bucketing "
-                             "trades a few extra launches for less "
-                             "padded compute)")
+    parser.add_argument("--length-buckets", action="store_true",
+                        help="accumulate pairs into per-length batch "
+                             "buckets (less padded compute, more "
+                             "launches). Off by default: through a "
+                             "high-RTT tunnel the per-launch round "
+                             "trips dominate — measured 353.8 pairs/s "
+                             "unbucketed vs 151.4 bucketed at the "
+                             "bench_search config (PERF_NOTES r4); "
+                             "worth enabling when device compute, not "
+                             "dispatch, is the bottleneck")
     parser.add_argument("--pad-multiple", type=int, default=64,
                         help="round padded sequence lengths up to this "
                              "multiple so batch shapes bucket and the "
@@ -102,7 +110,7 @@ def main(argv=None):
         # batch never pads short pairs up to an unrelated long pair's
         # length — at len 100-250 with pm=64 a mixed batch pays max-len
         # compute for every row; bucketed batches pay their own length
-        if args.no_length_buckets:
+        if not args.length_buckets:
             return (0, 0)
         return (-(-len(item["x"]) // pm) * pm,
                 -(-len(item["y"]) // pm) * pm)

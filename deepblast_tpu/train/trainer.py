@@ -157,7 +157,10 @@ class DeepBLAST:
         self.dp_decode_dtypes = self._dp_decode_dtype_menu(config,
                                                            self.dp_dtypes)
         self.aligner = NeuralAligner(
-            embedding_dim=config.embedding_dim,
+            # bilstm features carry an extra one-hot identity channel
+            # (see _lm_apply)
+            embedding_dim=config.embedding_dim + (
+                config.vocab_size if config.lm_type == "bilstm" else 0),
             hidden_dim=config.hidden_dim,
             layers=config.layers,
             k_size=config.k_size,
@@ -221,8 +224,22 @@ class DeepBLAST:
 
     def _lm_apply(self, lm_params, tokens, lengths):
         if isinstance(self.lm, BiLM):
-            return self.lm.apply(lm_params, tokens, lengths,
-                                 method=BiLM.encode)
+            # BiLM.encode is a *cloze* contract: features at position i
+            # see only the neighbours, never x_i itself — alignment
+            # scoring needs residue identity above all, so concat a
+            # parameter-free one-hot identity channel (the heads' first
+            # Dense learns the mix — exactly the reference's LMEmbed
+            # combination, deepblast/embedding.py:5-39, which its BiLM
+            # path composes via StackedRNN's embedded input).
+            feats = self.lm.apply(lm_params, tokens, lengths,
+                                  method=BiLM.encode)
+            # raw feature scale is kept deliberately: per-position
+            # standardization was A/B-tested and LOSES badly (F1 0.68 ->
+            # 0.51 on the HMM corpus — LSTM state magnitudes are
+            # informative; docs/QUALITY.md round 4)
+            oh = jax.nn.one_hot(tokens, self.config.vocab_size,
+                                dtype=feats.dtype)
+            return jnp.concatenate([oh, feats], axis=-1)
         if isinstance(self.lm, T5Encoder):
             L = tokens.shape[1]
             mask = jnp.arange(L)[None, :] < lengths[:, None]

@@ -87,11 +87,11 @@ def main():
     t0 = time.time()
     assert search_main(args) == 0
     hot_s = time.time() - t0
-    # A/B: single-accumulator batching (each batch padded to its own
-    # max) — bucketing trades a few extra launches for less padded
-    # compute; through the tunnel the per-launch RTTs can dominate
-    nb_args = args + ["--no-length-buckets"]
-    assert search_main(nb_args) == 0  # warm the unbucketed programs
+    # A/B: per-length bucketing — less padded compute, more launches;
+    # through the tunnel the per-launch RTTs dominate (measured 2.3x
+    # slower in round 4), which is why unbucketed is the default
+    nb_args = args + ["--length-buckets"]
+    assert search_main(nb_args) == 0  # warm the bucketed programs
     t0 = time.time()
     assert search_main(nb_args) == 0
     nb_s = time.time() - t0
@@ -104,8 +104,8 @@ def main():
         "pairs": n_pairs, "warm_s": round(warm_s, 1),
         "steady_s": round(hot_s, 1),
         "pairs_per_s": round(n_pairs / hot_s, 1),
-        "nobucket_steady_s": round(nb_s, 1),
-        "nobucket_pairs_per_s": round(n_pairs / nb_s, 1),
+        "bucketed_steady_s": round(nb_s, 1),
+        "bucketed_pairs_per_s": round(n_pairs / nb_s, 1),
         "batch_size": BS,
         "backend": "pallas_bm" if ON_TPU else "scan",
     }))

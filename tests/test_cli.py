@@ -96,7 +96,7 @@ def test_search_cli_bucket_parity(trained_dir):
         rc = main(["--query-fasta", str(q), "--db-fasta", str(db),
                    "--load-from-checkpoint", str(out),
                    "--output-file", str(path), "--batch-size", "2",
-                   "--pad-multiple", str(pm)])
+                   "--length-buckets", "--pad-multiple", str(pm)])
         assert rc == 0
         rows = {}
         for line in path.read_text().strip().split("\n"):
