@@ -285,11 +285,23 @@ def parent_main():
     hard_end = _T_START + budget
     cpu_reserve = 110.0
 
-    # seed the compile cache from the repo-local mirror if /tmp was wiped
-    if os.path.isdir(CACHE_BACKUP) and not os.path.isdir(CACHE_DIR):
+    # seed the compile cache from the repo-local mirror — cache warmth
+    # both cuts first-sample wall (223 s cold vs 32 s warm) and avoids
+    # the tunnel's compile-service stalls (PERF_NOTES r4); merge missing
+    # entries rather than only handling a fully wiped /tmp
+    if os.path.isdir(CACHE_BACKUP):
         try:
-            shutil.copytree(CACHE_BACKUP, CACHE_DIR)
-            print(f"# seeded compile cache from {CACHE_BACKUP}", flush=True)
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            have = set(os.listdir(CACHE_DIR))
+            n = 0
+            for name in os.listdir(CACHE_BACKUP):
+                if name not in have:
+                    shutil.copy2(os.path.join(CACHE_BACKUP, name),
+                                 os.path.join(CACHE_DIR, name))
+                    n += 1
+            if n:
+                print(f"# seeded {n} compile-cache entries from "
+                      f"{CACHE_BACKUP}", flush=True)
         except OSError as e:
             print(f"# cache seed failed: {e}", flush=True)
 
