@@ -232,7 +232,11 @@ def main():
         embedding_dim=64, hidden_dim=64, layers=2, vocab_size=32,
         lm_type="embed", batch_size=32, learning_rate=2e-3,
         epochs=EPOCHS, scheduler="cosine", loss="cross_entropy",
-        pad_multiple=MAXLEN, max_len=MAXLEN, backend=backend)
+        pad_multiple=MAXLEN, max_len=MAXLEN, backend=backend,
+        # DEEPBLAST_QUALITY_BF16=1: train with the bf16 difference-
+        # residual storage menu — end-task quality evidence for the
+        # --dp-bf16-residuals flag beyond step-level grad parity
+        dp_bf16_residuals=bool(os.environ.get("DEEPBLAST_QUALITY_BF16")))
     tok = ProtT5Tokenizer()
     model = DeepBLAST(cfg, tokenizer=tok)
     train_ds = TMAlignDataset(train, tokenizer=tok, max_len=MAXLEN)
