@@ -186,7 +186,15 @@ def child_main(force_cpu):
                 break
             if len(samples) >= 5 and now - _T_START > 330.0:
                 break
-        t0 = now
+            if on_tpu and len(samples) >= 3:
+                # the tunnel's fast/slow timing modes flip on multi-
+                # minute timescales (PERF_NOTES r3), so back-to-back
+                # samples are correlated draws — spread the later ones
+                # across the remaining window to raise the odds of
+                # catching a fast mode (sleep only when another sample
+                # will actually be taken)
+                time.sleep(min(12.0, max(0.0, deadline - now - 30.0)))
+        t0 = time.time()
         samples.append(
             time_op(decode, theta, A, reps=8 if on_tpu else 2, iters=5))
         walls.append(time.time() - t0)
@@ -194,12 +202,6 @@ def child_main(force_cpu):
               f"(wall {walls[-1]:.0f}s, t={time.time() - _T_START:.0f}s)",
               flush=True)
         emit(samples)
-        if on_tpu and len(samples) >= 3:
-            # the tunnel's fast/slow timing modes flip on multi-minute
-            # timescales (PERF_NOTES r3), so back-to-back samples are
-            # correlated draws — spread the later ones across the
-            # remaining window to raise the odds of catching a fast mode
-            time.sleep(min(12.0, max(0.0, deadline - time.time() - 30.0)))
     sys.exit(0)
 
 
@@ -255,28 +257,33 @@ class ChildRun:
         except (ProcessLookupError, PermissionError):
             pass
 
+    def _drain(self):
+        # deterministic: wait for the pump thread to hit EOF and parse
+        # any buffered RESULT line before reading self.result (a fixed
+        # sleep can race a RESULT printed just before exit/kill)
+        self._thread.join(timeout=5.0)
+        return self.result
+
     def wait_outcome(self, init_timeout, deadline):
         """Block until exit / init-hang / deadline; return last RESULT."""
         while True:
             now = time.time()
             rc = self.proc.poll()
             if rc is not None:
-                time.sleep(0.2)  # let the pump thread drain
-                return self.result
+                return self._drain()
             if not self.ready and now - _T_START > init_timeout:
                 print(f"# backend init hung >{init_timeout - 0:.0f}s "
                       "(tunnel down?); killing attempt", flush=True)
                 self.kill()
-                return self.result
+                return self._drain()
             if self.init_fail:
                 self.kill()
-                return self.result
+                return self._drain()
             if now > deadline:
                 print("# deadline reached; killing child "
                       "(salvaging last RESULT)", flush=True)
                 self.kill()
-                time.sleep(0.3)
-                return self.result
+                return self._drain()
             time.sleep(0.5)
 
 
@@ -328,11 +335,14 @@ def parent_main():
     if result is None:
         print("# no TPU result; CPU-forced fallback (never touches the "
               "tunnel)", flush=True)
-        run = ChildRun(force_cpu=True,
-                       child_deadline=min(hard_end, time.time() + 100) - 5)
+        # the fallback gets everything left of the budget (no arbitrary
+        # cap: on a cold cache the CPU child's first compile can need
+        # more than the old 100 s window, and nothing else competes for
+        # the remaining time)
+        run = ChildRun(force_cpu=True, child_deadline=hard_end - 5)
         result = run.wait_outcome(
-            init_timeout=(time.time() - _T_START) + 90,
-            deadline=min(hard_end, time.time() + 100))
+            init_timeout=(time.time() - _T_START) + 120,
+            deadline=hard_end)
 
     if result is None:
         # last resort: an honest "nothing ran" artifact beats an rc-124
@@ -344,6 +354,25 @@ def parent_main():
             "vs_baseline": 0.0,
             "path": "unavailable (tunnel hung and CPU fallback failed)",
         }
+    # reverse merge: write newly compiled programs back to the repo
+    # mirror so the NEXT run (or a /tmp wipe later) stays cache-warm —
+    # this is what makes "mirrored" true without manual refreshes
+    if os.path.isdir(CACHE_DIR):
+        try:
+            os.makedirs(CACHE_BACKUP, exist_ok=True)
+            have = set(os.listdir(CACHE_BACKUP))
+            n = 0
+            for name in os.listdir(CACHE_DIR):
+                if name not in have:
+                    shutil.copy2(os.path.join(CACHE_DIR, name),
+                                 os.path.join(CACHE_BACKUP, name))
+                    n += 1
+            if n:
+                print(f"# mirrored {n} new compile-cache entries to "
+                      f"{CACHE_BACKUP}", flush=True)
+        except OSError as e:
+            print(f"# cache mirror write-back failed: {e}", flush=True)
+
     result["bench_wall_s"] = round(time.time() - _T_START, 1)
     print(json.dumps(result), flush=True)
 

@@ -170,15 +170,16 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True,
     # same-config call with another menu.
     be = _resolve_backend(_BACKENDS[backend], dtypes)
 
-    def _run_forward(theta, A, ln, lm):
+    def _skewed(theta, A):
         # fused dual relayout when the backend has one (dp_bm: one
         # pallas_call for both potentials — two serialized calls measure
         # worse than the sum of their standalone times)
         if "skew_pair" in be:
-            thetad, Ad = be["skew_pair"](theta, A)
-        else:
-            thetad = be["skew"](theta)
-            Ad = be["skew"](A)
+            return be["skew_pair"](theta, A)
+        return be["skew"](theta), be["skew"](A)
+
+    def _run_forward(theta, A, ln, lm):
+        thetad, Ad = _skewed(theta, A)
         return be["forward"](thetad, Ad, ln, lm, mode=mode, operator=operator)
 
     # -- level 2: the expected-alignment (gradient) map --------------------
@@ -249,11 +250,7 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True,
             # differentiated, _score_bwd recomputes through `expected`
             # (whose forward writes the streams); XLA could never DCE the
             # stores out of the full kernel's single pallas_call itself.
-            if "skew_pair" in be:
-                thetad, Ad = be["skew_pair"](theta, A)
-            else:
-                thetad = be["skew"](theta)
-                Ad = be["skew"](A)
+            thetad, Ad = _skewed(theta, A)
             return be["forward_score"](thetad, Ad, ln, lm, mode=mode,
                                        operator=operator)
         vt, _ = _run_forward(theta, A, ln, lm)

@@ -236,7 +236,8 @@ def main():
         # DEEPBLAST_QUALITY_BF16=1: train with the bf16 difference-
         # residual storage menu — end-task quality evidence for the
         # --dp-bf16-residuals flag beyond step-level grad parity
-        dp_bf16_residuals=bool(os.environ.get("DEEPBLAST_QUALITY_BF16")))
+        dp_bf16_residuals=(
+            os.environ.get("DEEPBLAST_QUALITY_BF16", "0") == "1"))
     tok = ProtT5Tokenizer()
     model = DeepBLAST(cfg, tokenizer=tok)
     train_ds = TMAlignDataset(train, tokenizer=tok, max_len=MAXLEN)
