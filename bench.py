@@ -49,6 +49,10 @@ import time
 _T_START = time.time()
 
 REFERENCE_CUDA_ALIGNMENTS_PER_SEC = 50_000.0
+# Boundary between the tunnel chip's two observed timing modes at the bench
+# config (PERF_NOTES r3: ~3.2-3.6 ms fast window vs ~4.9-5.2 ms slow window;
+# midpoint ~4.3).  Used only to label the JSON artifact — not for selection.
+FAST_MODE_MS = 4.3
 CACHE_DIR = "/tmp/deepblast_jax_cache"
 # durable mirror inside the repo (survives /tmp cleanup between the build
 # session and the driver's bench run; .gitignored, never committed)
@@ -148,10 +152,14 @@ def child_main(force_cpu):
     def emit(samples):
         dt = min(samples)
         value = B / dt
+        med = sorted(samples)[len(samples) // 2]
+        value_med = B / med
         if not on_tpu:
             # normalise to the len-512 headline from the small CPU config
-            value *= (N / 512.0) * (M / 512.0)
-        print("RESULT " + json.dumps({
+            scale = (N / 512.0) * (M / 512.0)
+            value *= scale
+            value_med *= scale
+        rec = {
             "metric": "alignments/sec/chip (soft-NW fwd+bwd, len-512)",
             "value": round(value, 2),
             "unit": "alignments/s",
@@ -161,7 +169,26 @@ def child_main(force_cpu):
             "dtype_menu": menu_desc,
             "timing": f"min of {len(samples)} time_op calls "
                       "(bimodal tunnel; see PERF_NOTES r3)",
-        }), flush=True)
+            # Window self-description (VERDICT r4 item 4): the tunnel's
+            # chip runs the same program in a ~3.2-3.6 ms fast mode and a
+            # ~4.9-5.2 ms slow mode that flip on multi-minute timescales
+            # (PERF_NOTES r3, probe_bimodal) — cross-round comparisons
+            # must normalise by window, so the artifact records every
+            # sample, the median, and which mode(s) the run saw.
+            "samples_ms": [round(s * 1e3, 3) for s in samples],
+            "median_ms": round(med * 1e3, 3),
+            "value_median": round(value_med, 2),
+        }
+        if on_tpu:
+            fast = sum(1 for s in samples if s * 1e3 < FAST_MODE_MS)
+            if fast == len(samples):
+                rec["window"] = "fast"
+            elif fast == 0:
+                rec["window"] = "slow"
+            else:
+                rec["window"] = f"mixed ({fast}/{len(samples)} fast)"
+            rec["window_boundary_ms"] = FAST_MODE_MS
+        print("RESULT " + json.dumps(rec), flush=True)
 
     # Report the chip's demonstrated capability: the MIN over several
     # independent time_op calls (each itself a median of data-dependent

@@ -70,6 +70,15 @@ class DeepBLASTConfig:
     lm_type: str = "embed"          # embed | bilstm | prot_t5
     vocab_size: int = 32
     finetune: bool = False
+    # Feature-schema marker (ADVICE r4): round 4 added a parameter-free
+    # one-hot identity channel to bilstm features (_lm_apply), changing
+    # the aligner input dim from embedding_dim to embedding_dim +
+    # vocab_size.  The flag is persisted in config.json so checkpoints
+    # self-describe their head-input schema; pre-change bilstm
+    # checkpoints (no key in their JSON) are rejected with a clear error
+    # in from_json, and setting the flag false rebuilds the pre-change
+    # architecture so those checkpoints can still be loaded.
+    bilstm_onehot_channel: bool = True
     # optimisation
     batch_size: int = 32
     learning_rate: float = 5e-5
@@ -128,6 +137,14 @@ class DeepBLASTConfig:
     @classmethod
     def from_json(cls, s):
         d = json.loads(s)
+        if d.get("lm_type") == "bilstm" and "bilstm_onehot_channel" not in d:
+            raise ValueError(
+                "this bilstm checkpoint predates the one-hot identity "
+                "channel added to the LM features (head input dim changed "
+                "from embedding_dim to embedding_dim + vocab_size), so its "
+                "head weights cannot load into the current architecture. "
+                "Add '\"bilstm_onehot_channel\": false' to its config.json "
+                "to rebuild the pre-change architecture, or re-train.")
         return cls(**{k: v for k, v in d.items()
                       if k in {f.name for f in dataclasses.fields(cls)}})
 
@@ -158,9 +175,11 @@ class DeepBLAST:
                                                            self.dp_dtypes)
         self.aligner = NeuralAligner(
             # bilstm features carry an extra one-hot identity channel
-            # (see _lm_apply)
+            # (see _lm_apply; gated by the persisted schema marker)
             embedding_dim=config.embedding_dim + (
-                config.vocab_size if config.lm_type == "bilstm" else 0),
+                config.vocab_size if (config.lm_type == "bilstm"
+                                      and config.bilstm_onehot_channel)
+                else 0),
             hidden_dim=config.hidden_dim,
             layers=config.layers,
             k_size=config.k_size,
@@ -237,6 +256,8 @@ class DeepBLAST:
             # standardization was A/B-tested and LOSES badly (F1 0.68 ->
             # 0.51 on the HMM corpus — LSTM state magnitudes are
             # informative; docs/QUALITY.md round 4)
+            if not self.config.bilstm_onehot_channel:
+                return feats  # pre-round-4 schema (old checkpoints)
             oh = jax.nn.one_hot(tokens, self.config.vocab_size,
                                 dtype=feats.dtype)
             return jnp.concatenate([oh, feats], axis=-1)

@@ -35,7 +35,10 @@ def test_tiny_budget_takes_cpu_fallback():
     assert rec["unit"] == "alignments/s"
     assert rec["value"] > 0
     assert "fallback" in rec["path"]
-    assert rec["bench_wall_s"] < 150
+    # budget (150) + supervision slack: on a cold compile cache the CPU
+    # child can still be running at the deadline, get pgid-killed, and the
+    # parent stamps deadline + drain + cache-mirror time (ADVICE r4)
+    assert rec["bench_wall_s"] < 170
 
 
 def test_init_hang_is_detected_and_salvaged():
