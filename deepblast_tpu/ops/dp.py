@@ -223,7 +223,17 @@ def _build(mode: str, operator: str, backend: str, with_gap: bool = True,
             Ztd, ZAd = be["skew_ct_pair"](Zt, Za)
         else:
             Ztd = skew_ct(Zt)
-            ZAd = skew_ct(Za) if Za is not None else jnp.zeros_like(Ztd)
+            if Za is not None:
+                ZAd = skew_ct(Za)
+            elif be.get("za_none"):
+                # with_gap=False (the training decode path): the gap
+                # cotangent is identically zero, and the backend's
+                # adjoint_forward accepts za=None — it drops the Za
+                # stream from the kernel instead of materialising and
+                # streaming a zeros tensor
+                ZAd = None
+            else:
+                ZAd = jnp.zeros_like(Ztd)
         # Hessian symmetry: VJP of the gradient map == JVP along (Zt, Za).
         vtd, adj_aux = be["adjoint_forward"](
             aux, Ztd, ZAd, ln, lm, mode=mode, operator=operator, nm=(N, M))

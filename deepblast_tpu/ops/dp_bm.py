@@ -274,12 +274,23 @@ def _block_spec(T, S, rowfn):
 
 def _fit_T(T0, K2, S, dtypes):
     """Largest T <= T0 dividing K2 whose double-buffered stream blocks fit
-    the VMEM budget (``dtypes``: one entry per stream operand/output)."""
+    the VMEM budget (``dtypes``: one entry per stream operand/output).
+
+    ``K2`` is 8-aligned by construction (:func:`_unfold_dims`) and every
+    preferred T is a power of two <= 8, so divisibility always resolves by
+    halving; kernels with different stream counts (forward_score_bm vs
+    forward_bm) may legitimately pick different T at large shapes — a
+    per-kernel unroll factor, not a layout contract (ADVICE r4).  The
+    T=1 endpoint is a *slow* but correct degradation; fail loudly on the
+    one genuinely bad input instead of looping forever."""
+    if K2 <= 0 or K2 % 8 != 0:
+        raise ValueError(f"stream row count K2={K2} is not 8-aligned — "
+                         "inputs did not come from skew_input")
     per_row = sum(S * LANE * jnp.dtype(d).itemsize for d in dtypes)
     T = T0
     while T > 1 and (K2 % T != 0 or 2 * T * per_row > VMEM_BUDGET):
         T //= 2
-    return max(T, 1) if K2 % max(T, 1) == 0 else 1
+    return max(T, 1)
 
 
 VMEM_LIMIT = int(_os.environ.get("DEEPBLAST_VMEM_LIMIT", 64 * 2**20))
@@ -1151,6 +1162,30 @@ def _stream_accessor(s, N, M):
     return lambda b, i, j: float(sd[i + j, i + 1, b])
 
 
+def _train_fns():
+    """The four training-pass kernels: phase-split (round 5 default) or
+    monolithic, selected by ``DEEPBLAST_TRAIN_PHASES`` (0 = monolithic).
+    ``za_none`` advertises that adjoint_forward accepts ``za=None`` (zero
+    gap cotangent — the dispatcher then skips the Za skew + stream
+    entirely on the training decode path)."""
+    from deepblast_tpu.ops import dp_bm_train as _t
+    if _t.TRAIN_PHASES > 0:
+        return {
+            "forward": _t.forward_bm_phased,
+            "backward": _t.backward_bm_phased,
+            "adjoint_forward": _t.adjoint_forward_bm_phased,
+            "adjoint_backward": _t.adjoint_backward_bm_phased,
+            "za_none": True,
+        }
+    return {
+        "forward": forward_bm,
+        "backward": backward_bm,
+        "adjoint_forward": adjoint_forward_bm,
+        "adjoint_backward": adjoint_backward_bm,
+        "za_none": False,
+    }
+
+
 def _with_dtypes(menu):
     """Backend-registry factory: rebind every dtype-sensitive function to
     a per-call :class:`DTypeMenu` (see ops.dp._resolve_backend — only the
@@ -1158,16 +1193,17 @@ def _with_dtypes(menu):
     gates / runtime pops of ``decode_stream`` stay effective)."""
     menu = _menu(menu)
     bind = functools.partial(functools.partial, dtypes=menu)
+    fns = _train_fns()
     return {
         "skew": bind(skew_input),
         "skew_pair": bind(skew_input_pair),
         "skew_ct": bind(skew_cotangent),
         "skew_ct_pair": bind(skew_cotangent_pair),
-        "forward": bind(forward_bm),
+        "forward": bind(fns["forward"]),
         "forward_score": bind(forward_score_bm),
-        "backward": bind(backward_bm),
-        "adjoint_forward": bind(adjoint_forward_bm),
-        "adjoint_backward": bind(adjoint_backward_bm),
+        "backward": bind(fns["backward"]),
+        "adjoint_forward": bind(fns["adjoint_forward"]),
+        "adjoint_backward": bind(fns["adjoint_backward"]),
         "decode_stream": bind(decode_stream_bm),
     }
 
@@ -1183,17 +1219,19 @@ def register(make_default=None):
             make_default = jax.default_backend() == "tpu"
         except RuntimeError:
             make_default = False
+    fns = _train_fns()
     dp.register_backend("pallas_bm", {
         "skew": skew_input,
         "skew_pair": skew_input_pair,
         "skew_ct": skew_cotangent,
         "skew_ct_pair": skew_cotangent_pair,
         "unskew": unskew_output,
-        "forward": forward_bm,
+        "forward": fns["forward"],
         "forward_score": forward_score_bm,
-        "backward": backward_bm,
-        "adjoint_forward": adjoint_forward_bm,
-        "adjoint_backward": adjoint_backward_bm,
+        "backward": fns["backward"],
+        "adjoint_forward": fns["adjoint_forward"],
+        "adjoint_backward": fns["adjoint_backward"],
+        "za_none": fns["za_none"],
         # host accessor into the batch-minor E stream (skew_bm contract
         # stream[d, s, b] = E[b, s-1, d+1-s]): cell (i, j) -> [i+j, i+1, b]
         "stream_cell": lambda s, b, i, j: s[i + j, i + 1, b],
