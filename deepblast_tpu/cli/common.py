@@ -112,6 +112,22 @@ def add_infra_args(parser: argparse.ArgumentParser):
     return parser
 
 
+def _pretrained_lm_type(args):
+    """lm_type implied by --pretrain-path: a raw HF directory means
+    ProtT5 (the reference's only pretrained path); a deepblast-convert-lm
+    artifact self-describes its kind in manifest.json."""
+    if not args.pretrain_path:
+        return args.lm_type
+    from deepblast_tpu.models.convert import is_converted_lm
+    if is_converted_lm(args.pretrain_path):
+        import json
+        import os
+        with open(os.path.join(args.pretrain_path, "manifest.json")) as f:
+            return {"prot_t5": "prot_t5", "bilstm": "bilstm"}[
+                json.load(f)["kind"]]
+    return "prot_t5"
+
+
 def config_from_args(args) -> DeepBLASTConfig:
     mode = MODE_ALIASES.get(args.alignment_mode, args.alignment_mode)
     return DeepBLASTConfig(
@@ -124,7 +140,7 @@ def config_from_args(args) -> DeepBLASTConfig:
         alignment_mode=mode,
         operator=args.operator,
         backend=args.backend,
-        lm_type="prot_t5" if args.pretrain_path else args.lm_type,
+        lm_type=_pretrained_lm_type(args),
         vocab_size=args.vocab_size,
         finetune=bool(args.finetune),
         batch_size=args.batch_size,
@@ -152,13 +168,28 @@ def config_from_args(args) -> DeepBLASTConfig:
 
 
 def build_model(config, pretrain_path=None):
-    """Construct DeepBLAST; loads ProtT5 weights when a local checkpoint
-    directory is given (reference: scripts/deepblast-train:18-20)."""
+    """Construct DeepBLAST; loads LM weights when a local checkpoint is
+    given (reference: scripts/deepblast-train:18-20).  Accepts either a
+    raw HF ProtT5 checkpoint directory (torch needed, converted on the
+    fly) or a ``deepblast-convert-lm`` artifact directory (torch-free)."""
     from deepblast_tpu.train.trainer import DeepBLAST
     tokenizer = ProtT5Tokenizer()
     lm = lm_params = None
     if pretrain_path:
-        from deepblast_tpu.models.lm import load_prot_t5
-        lm, lm_params = load_prot_t5(pretrain_path)
+        from deepblast_tpu.models.convert import (is_converted_lm,
+                                                  load_converted_lm)
+        if is_converted_lm(pretrain_path):
+            lm, lm_params = load_converted_lm(pretrain_path)
+            from deepblast_tpu.models.lm import BiLM
+            if isinstance(lm, BiLM):
+                # the heads' input width is the LM's feature dim; derive
+                # it from the artifact so a geometry mismatch cannot
+                # silently mis-shape the aligner
+                import dataclasses
+                config = dataclasses.replace(
+                    config, embedding_dim=lm.hidden_size)
+        else:
+            from deepblast_tpu.models.lm import load_prot_t5
+            lm, lm_params = load_prot_t5(pretrain_path)
     return DeepBLAST(config, tokenizer=tokenizer, lm=lm,
                      lm_params=lm_params)
