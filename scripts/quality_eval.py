@@ -233,6 +233,10 @@ def main():
         lm_type="embed", batch_size=32, learning_rate=2e-3,
         epochs=EPOCHS, scheduler="cosine", loss="cross_entropy",
         pad_multiple=MAXLEN, max_len=MAXLEN, backend=backend,
+        # DEEPBLAST_QUALITY_SEED varies model init + batch order for the
+        # multi-seed dtype-menu gate (round 5; corpus seeds stay fixed so
+        # menu arms are paired per seed)
+        seed=int(os.environ.get("DEEPBLAST_QUALITY_SEED", "0")),
         # DEEPBLAST_QUALITY_BF16=1: train with the bf16 difference-
         # residual storage menu — end-task quality evidence for the
         # --dp-bf16-residuals flag beyond step-level grad parity
@@ -243,9 +247,16 @@ def main():
     train_ds = TMAlignDataset(train, tokenizer=tok, max_len=MAXLEN)
     valid_ds = TMAlignDataset(valid, tokenizer=tok, max_len=MAXLEN)
 
-    state0 = model.init()
-    untrained = summarize(eval_model(model, state0, test))
-    print(f"untrained: {untrained}", flush=True)
+    # DEEPBLAST_QUALITY_GATE=1: A/B-gate mode — skip the untrained /
+    # NW-baseline / structural legs (constant across dtype-menu arms)
+    # and report only the trained test accuracy
+    gate_only = os.environ.get("DEEPBLAST_QUALITY_GATE", "0") == "1"
+
+    untrained = None
+    if not gate_only:
+        state0 = model.init()
+        untrained = summarize(eval_model(model, state0, test))
+        print(f"untrained: {untrained}", flush=True)
 
     state, history = model.fit(train_ds, valid_ds)
     print(f"train: loss {history[0]['train_loss']:.4f} -> "
@@ -255,6 +266,28 @@ def main():
 
     trained = summarize(eval_model(model, state, test))
     print(f"trained: {trained}", flush=True)
+
+    if gate_only:
+        result = {
+            "corpus": {"train": N_TRAIN, "valid": N_VALID, "test": N_TEST,
+                       "epochs": EPOCHS, "backend": backend,
+                       "seed": cfg.seed,
+                       "dp_bf16_residuals": cfg.dp_bf16_residuals},
+            "history": {
+                "first_train_loss": round(history[0]["train_loss"], 4),
+                "last_train_loss": round(history[-1]["train_loss"], 4),
+                "last_val_loss": round(
+                    history[-1].get("validation_loss", float("nan")), 4)},
+            "alignment_accuracy": {"trained": trained},
+            "wall_s": round(time.time() - t0, 1),
+        }
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs",
+            os.environ.get("DEEPBLAST_QUALITY_OUT", "quality_gate.json"))
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return
 
     g_bl = tune_gap(valid, "blosum62")
     blosum = summarize(nw_stats(test, g_bl, "blosum62"))
