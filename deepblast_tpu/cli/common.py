@@ -182,12 +182,18 @@ def build_model(config, pretrain_path=None):
             lm, lm_params = load_converted_lm(pretrain_path)
             from deepblast_tpu.models.lm import BiLM
             if isinstance(lm, BiLM):
-                # the heads' input width is the LM's feature dim; derive
-                # it from the artifact so a geometry mismatch cannot
-                # silently mis-shape the aligner
+                # the heads' input width is the LM's feature dim and the
+                # one-hot channel width is the LM's alphabet; derive both
+                # from the artifact so a geometry mismatch cannot
+                # silently mis-shape the aligner.  Bepler BiLMs embed
+                # Uniprot21 ids (+ mask), NOT ProtT5 sentencepiece ids —
+                # switch the tokenizer accordingly.
                 import dataclasses
                 config = dataclasses.replace(
-                    config, embedding_dim=lm.hidden_size)
+                    config, embedding_dim=lm.hidden_size,
+                    vocab_size=lm.nin)
+                from deepblast_tpu.data import UniprotPairTokenizer
+                tokenizer = UniprotPairTokenizer()
         else:
             from deepblast_tpu.models.lm import load_prot_t5
             lm, lm_params = load_prot_t5(pretrain_path)

@@ -3,6 +3,7 @@ from deepblast_tpu.data.alphabet import (  # noqa: F401
     ProtT5Tokenizer,
     Uniprot21,
     UniprotTokenizer,
+    UniprotPairTokenizer,
 )
 from deepblast_tpu.data.dataset import (  # noqa: F401
     FastaDataset,

@@ -28,6 +28,7 @@ __all__ = [
     "DNA",
     "Uniprot21",
     "UniprotTokenizer",
+    "UniprotPairTokenizer",
     "ProtT5Tokenizer",
 ]
 
@@ -102,6 +103,23 @@ class UniprotTokenizer:
             out[1:-1] = z
             return out
         return z
+
+    def decode(self, ids) -> str:
+        """Inverse of encode (token ids -> residue string)."""
+        return self.alphabet.decode(
+            np.asarray(ids, np.uint8)).decode("ascii")
+
+
+class UniprotPairTokenizer(UniprotTokenizer):
+    """:class:`UniprotTokenizer` with the trainer's calling convention
+    (``(ids, mask)`` like :class:`ProtT5Tokenizer`) — the tokenizer for
+    Bepler-alphabet BiLM artifacts (``deepblast-convert-lm``), whose
+    embedding table covers the Uniprot21 ids + mask token, not the
+    ProtT5 sentencepiece ids."""
+
+    def __call__(self, x):
+        ids = np.asarray(super().__call__(x), np.int32)
+        return ids, np.ones_like(ids)
 
 
 # Default id layout matching the Rostlab ProtT5 sentencepiece vocab:
