@@ -103,6 +103,28 @@ def _scan_adjoint_backward(E_s, aux, adj_aux, ln, lm, *, mode,
     return Ed, EdA
 
 
+def _scan_with_dtypes(menu):
+    """Storage-dtype menu support for the scan oracle (CPU gates).
+
+    Only the ``d`` knob (difference-residual storage, the
+    ``--dp-bf16-residuals`` flag) has scan-side numerics to emulate: the
+    forward/adjoint-forward passes rebuild their soft-argmax diagonals
+    from rounded transition-argument differences, matching what the
+    batch-minor kernels' reverse passes reconstruct from their bf16 D
+    streams.  ``stream``/``e`` are TPU stream-layout knobs with no scan
+    counterpart and are ignored here (the scan oracle computes E
+    densely in the input dtype)."""
+    d = getattr(menu, "d", None)
+    if d is None:
+        return {}
+    return {
+        "forward": functools.partial(
+            dp_scan.forward_scan, residual_dtype=d),
+        "adjoint_forward": functools.partial(
+            dp_scan.adjoint_forward_scan, residual_dtype=d),
+    }
+
+
 _BACKENDS = {
     "scan": {
         "skew": skew,
@@ -119,6 +141,7 @@ _BACKENDS = {
         "stream_affine": lambda s, b: (
             np.ascontiguousarray(s).reshape(-1)[b * s.shape[2] + 1:],
             s.shape[1] * s.shape[2] + 1, s.shape[1] * s.shape[2]),
+        "with_dtypes": _scan_with_dtypes,
     },
 }
 

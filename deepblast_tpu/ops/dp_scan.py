@@ -81,13 +81,24 @@ def _valid_mask(iarr, k, ln, lm, lo):
 
 
 def forward_scan(thetad, Ad, ln, lm, *, mode="nw", operator="softmax",
-                 nm=None):  # nm accepted for backend-signature parity
+                 nm=None,  # nm accepted for backend-signature parity
+                 residual_dtype=None):
     """Forward DP over anti-diagonals.
 
     Parameters
     ----------
     thetad, Ad : (K, B, N) skewed match / gap potentials (K = N + M - 1).
     ln, lm : (B,) int true lengths.
+    residual_dtype : optional storage dtype emulating the batch-minor
+        kernels' difference-residual menu (``DTypeMenu.d``): the stored
+        soft-argmax diagonals are recomputed from the two transition-
+        argument differences ``Dx = shr(V[r-1]) - V[r-1]`` and
+        ``Dm = shr(V[r-2]) - A - V[r-1]`` rounded through this dtype —
+        exactly what `dp_bm`'s reverse passes reconstruct from their
+        bf16 D streams (additive equivariance of the operators).  The
+        score recursion itself stays in the compute dtype.  This gives
+        the scan oracle the same *numerics* as ``--dp-bf16-residuals``
+        so CPU end-task A/B gates exercise the real rounding.
 
     Returns
     -------
@@ -113,6 +124,14 @@ def forward_scan(thetad, Ad, ln, lm, *, mode="nw", operator="softmax",
         yarg = ash + v1
         val, (qx, qm, qy) = smooth.max3(operator, xarg, marg, yarg)
         vnew = tsh + val
+        if residual_dtype is not None:
+            # round the O(1)-range differences through the storage dtype
+            # and rebuild Q, matching dp_bm's reverse-pass recomputation
+            rd = jnp.dtype(residual_dtype)
+            dx = (xarg - yarg).astype(rd).astype(dtype)
+            dm = (marg - yarg).astype(rd).astype(dtype)
+            _, (qx, qm, qy) = smooth.max3(
+                operator, dx, dm, jnp.zeros_like(dx))
         valid = _valid_mask(iarr, k, ln, lm, lo)
         zero = jnp.zeros((), dtype)
         vnew = jnp.where(valid, vnew, zero)
@@ -170,12 +189,18 @@ def backward_scan(Et, qs, ln, lm, *, mode="nw", nm=None):
 
 
 def adjoint_forward_scan(qs, Ztd, ZAd, ln, lm, *, mode="nw", nm=None,
-                         operator="softmax"):
+                         operator="softmax", residual_dtype=None):
     """JVP of the forward pass along skewed tangents ``(Ztd, ZAd)``.
 
     Returns ``(vtd, (qdx, qdm, qdy))`` — the tangents of the terminal score
     and of the soft-argmax diagonals (via the operator's Hessian-product,
     reference: deepblast/nw.py:178-199).
+
+    ``residual_dtype`` mirrors :func:`forward_scan`'s knob for the
+    *tangent* differences: dp_bm stores ``Dxd = shr(Vd[r-1]) - Vd[r-1]``
+    and ``Dmd = shr(Vd[r-2]) - ZA - Vd[r-1]`` in the menu's d dtype and
+    rebuilds ``Qd`` via the Hessian-product (which also annihilates
+    constant shifts), so the emulation rounds the same two quantities.
     """
     qx, qm, qy = qs
     K, B, N = Ztd.shape
@@ -195,8 +220,15 @@ def adjoint_forward_scan(qs, Ztd, ZAd, ln, lm, *, mode="nw", nm=None,
         margd = _shr(vd2)
         yargd = zash + vd1
         vdnew = ztsh + qx_k * xargd + qm_k * margd + qy_k * yargd
+        if residual_dtype is None:
+            hargs = (xargd, margd, yargd)
+        else:
+            rd = jnp.dtype(residual_dtype)
+            dxd = (xargd - yargd).astype(rd).astype(dtype)
+            dmd = (margd - yargd).astype(rd).astype(dtype)
+            hargs = (dxd, dmd, jnp.zeros_like(dxd))
         qdx, qdm, qdy = smooth.hessian3(
-            operator, (qx_k, qm_k, qy_k), (xargd, margd, yargd))
+            operator, (qx_k, qm_k, qy_k), hargs)
         valid = _valid_mask(iarr, k, ln, lm, lo)
         zero = jnp.zeros((), dtype)
         vdnew = jnp.where(valid, vdnew, zero)

@@ -99,3 +99,43 @@ def test_bf16_streams_have_bf16_storage():
     Ediag, _ = dp_bm.backward_bm(jnp.ones_like(vt), aux, ln, lm,
                                  dtypes=menu)
     assert Ediag.dtype == jnp.bfloat16      # E stream
+
+
+def test_scan_emulates_d_menu_for_cpu_gates():
+    """The scan oracle honors the ``d`` (difference-residual) storage
+    knob so CPU end-task A/B gates of ``--dp-bf16-residuals`` exercise
+    the real rounding (VERDICT r4 item 2: the multi-seed gate runs its
+    seeds on CPU).  Scan rebuilds Q/Qd from bf16-rounded transition-
+    argument differences — the same quantities dp_bm's reverse passes
+    reconstruct from their bf16 D streams — so first- and second-order
+    gradients must (a) move off the fp32 values and (b) land close to
+    the pallas_bm kernels under the identical menu."""
+    import jax
+
+    theta, A, ln, lm = _problem(B=3, N=20, M=16, seed=3)
+    lengths = (ln, lm)
+
+    def loss(backend, dtypes):
+        def f(th, a):
+            E = dp_mod.expected_alignment(
+                th, a, lengths, backend=backend, dtypes=dtypes)
+            return jnp.sum(E * E) + jnp.sum(E[:, ::2, ::3])
+        return f
+
+    # first+second order through decode (the training path)
+    g_s32 = jax.grad(loss("scan", None), argnums=(0, 1))(theta, A)
+    g_s16 = jax.grad(loss("scan", BF16_D), argnums=(0, 1))(theta, A)
+    g_p16 = jax.grad(loss("pallas_bm", BF16_D), argnums=(0, 1))(theta, A)
+
+    # (a) the knob changes scan numerics (rounding is real) ...
+    moved = max(np.max(np.abs(np.asarray(a) - np.asarray(b)))
+                for a, b in zip(g_s16, g_s32))
+    assert moved > 1e-7, "scan d-menu emulation is a no-op"
+    # ... but stays a small perturbation of the fp32 gradient
+    for a, b in zip(g_s16, g_s32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2)
+
+    # (b) scan emulation tracks the pallas_bm kernels under the same menu
+    # far tighter than either tracks fp32
+    for a, b in zip(g_s16, g_p16):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
