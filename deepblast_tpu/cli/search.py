@@ -7,17 +7,16 @@ and ``--mesh auto`` (the default), scoring batches are sharded over the
 ``data`` axis of a device mesh — parameters replicated, pairs split —
 so database scans scale across a TPU slice the same way training does.
 
-Batch formation supports optional length bucketing (``--length-buckets``):
-pairs accumulate per (padded-x-len, padded-y-len) bucket and flush when
-a bucket fills, so short pairs never pay a long pair's padded compute
-and every bucket compiles exactly one fixed-shape program (tail flushes
-replicate their last row instead of triggering ragged-shape recompiles).
-Off by default: through a high-RTT tunnel the per-launch host round
-trips dominate scan cost, and fewer launches beat less padded compute
-(measured 353.8 vs 151.4 pairs/s at the bench_search config —
-docs/PERF_NOTES.md round 4).  With bucketing on, output rows appear in
-flush order, not strict input order — the TSV is a score table, not a
-stream.
+Batch formation is a single accumulator: pairs flush in input order
+every ``--batch-size``, padded to the batch max rounded up to
+``--pad-multiple`` (so batch shapes repeat and the jitted scorer
+compiles a handful of programs, not one per batch).  A per-length
+bucketing mode existed through round 4 and was deleted in round 5: it
+measured 2.3x slower through the tunnel (151.4 vs 353.8 pairs/s,
+launch-count-dominated) AND slower on pure device compute with
+launches priced at zero (its motivating regime —
+scripts/probe_bucket_compute.py: 50.8 vs 49.7 ms per 4,096-pair scan;
+partially-filled per-bucket tail batches eat the padded-cell savings).
 """
 
 from __future__ import annotations
@@ -39,16 +38,6 @@ def main(argv=None):
     parser.add_argument("--mesh", choices=["auto", "none"], default="auto",
                         help="shard scoring batches over the data axis of "
                              "a device mesh when >1 device is visible")
-    parser.add_argument("--length-buckets", action="store_true",
-                        help="accumulate pairs into per-length batch "
-                             "buckets (less padded compute, more "
-                             "launches). Off by default: through a "
-                             "high-RTT tunnel the per-launch round "
-                             "trips dominate — measured 353.8 pairs/s "
-                             "unbucketed vs 151.4 bucketed at the "
-                             "bench_search config (PERF_NOTES r4); "
-                             "worth enabling when device compute, not "
-                             "dispatch, is the bottleneck")
     parser.add_argument("--pad-multiple", type=int, default=64,
                         help="round padded sequence lengths up to this "
                              "multiple so batch shapes bucket and the "
@@ -93,9 +82,10 @@ def main(argv=None):
         state = SimpleNamespace(params=params, lm_params=lm_params)
         return model.score_pairs(state, batch)
 
-    def _pad_bucketed(seqs):
-        # bucket padded lengths so batch shapes repeat and the jitted
-        # scorer compiles once per bucket, not once per flush
+    def _pad_rounded(seqs):
+        # round padded lengths up to --pad-multiple so batch shapes
+        # repeat and the jitted scorer compiles once per shape, not
+        # once per flush
         toks, lens = pad_sequences(seqs)
         pm = max(1, args.pad_multiple)
         L = -(-toks.shape[1] // pm) * pm
@@ -103,20 +93,8 @@ def main(argv=None):
             toks = np.pad(toks, ((0, 0), (0, L - toks.shape[1])))
         return toks, lens
 
-    pm = max(1, args.pad_multiple)
-
-    def bucket_key(item):
-        # route each pair to a (padded-x-len, padded-y-len) bucket so a
-        # batch never pads short pairs up to an unrelated long pair's
-        # length — at len 100-250 with pm=64 a mixed batch pays max-len
-        # compute for every row; bucketed batches pay their own length
-        if not args.length_buckets:
-            return (0, 0)
-        return (-(-len(item["x"]) // pm) * pm,
-                -(-len(item["y"]) // pm) * pm)
-
     # every launch is padded (tail item replicated) to the same row
-    # count, so each bucket compiles exactly one program — partial
+    # count, so each shape compiles exactly one program — partial
     # flushes at end-of-scan reuse it instead of compiling per ragged
     # tail shape; drain() slices the replicas back off
     full = args.batch_size
@@ -127,8 +105,8 @@ def main(argv=None):
         """Tokenize, pad, and launch one scoring batch (async dispatch —
         jax returns before the device finishes)."""
         its = items + [items[-1]] * (full - len(items))
-        xs, xl = _pad_bucketed([it["x"] for it in its])
-        ys, yl = _pad_bucketed([it["y"] for it in its])
+        xs, xl = _pad_rounded([it["x"] for it in its])
+        ys, yl = _pad_rounded([it["y"] for it in its])
         batch = dict(x=jnp.asarray(xs), y=jnp.asarray(ys),
                      x_len=jnp.asarray(xl), y_len=jnp.asarray(yl))
         if mesh is not None:
@@ -152,7 +130,7 @@ def main(argv=None):
         # a 2-deep in-flight queue: host collate of batch k+2 overlaps
         # device compute of k+1 while k's readback completes — per-launch
         # host round trips dominate tunnel-attached scans
-        buckets, inflight = {}, deque()
+        buf, inflight = [], deque()
 
         def launch(items):
             if len(inflight) >= 2:
@@ -160,22 +138,12 @@ def main(argv=None):
             inflight.append(dispatch(items))
 
         for item in ds:
-            k = bucket_key(item)
-            b = buckets.setdefault(k, [])
-            b.append(item)
-            if len(b) >= args.batch_size:
-                launch(b)
-                buckets[k] = []
-        # End-of-scan leftovers: flushing each partial bucket separately
-        # costs one fixed-overhead launch per bucket; instead merge them
-        # all, sorted longest-first so chunks stay near-homogeneous, and
-        # launch ceil(n/batch_size) packed batches (each pads to its own
-        # chunk max — _pad_bucketed rounds to the same bucket grid, so
-        # no new program shapes are introduced beyond the grid).
-        left = [it for b in buckets.values() for it in b]
-        left.sort(key=bucket_key, reverse=True)
-        for i in range(0, len(left), args.batch_size):
-            launch(left[i:i + args.batch_size])
+            buf.append(item)
+            if len(buf) >= args.batch_size:
+                launch(buf)
+                buf = []
+        if buf:
+            launch(buf)
         while inflight:
             drain(inflight.popleft(), out)
     return 0

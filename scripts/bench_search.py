@@ -5,7 +5,7 @@ The reference's search script is broken upstream (imports a removed
 class, reference scripts/deepblast-search:9) and, when it ran, scored
 pairs one batch at a time on one GPU with per-pair python slicing.
 This benchmark runs this repo's working search CLI end to end — FASTA
-parsing, length-bucketed padding (``--pad-multiple``), batched scoring
+parsing, shape-rounded padding (``--pad-multiple``), batched scoring
 through the pallas_bm forward kernel, TSV output — and reports scored
 pairs/second.
 
@@ -87,20 +87,9 @@ def main():
     t0 = time.time()
     assert search_main(args) == 0
     hot_s = time.time() - t0
-    # A/B: per-length bucketing — less padded compute, more launches;
-    # through the tunnel the per-launch RTTs dominate (measured 2.3x
-    # slower in round 4: 151.4 vs 353.8 pairs/s at BS=256), which is why
-    # unbucketed is the default.  The verdict is recorded; re-running the
-    # losing arm costs ~2x the harness wall plus 9 bucket-shape compiles
-    # (a compile-service-stall risk), so it is opt-in.
-    nb_s = None
-    if os.environ.get("DEEPBLAST_SEARCH_AB", "0") == "1":
-        nb_args = args + ["--length-buckets"]
-        assert search_main(nb_args) == 0  # warm the bucketed programs
-        t0 = time.time()
-        assert search_main(nb_args) == 0
-        nb_s = time.time() - t0
-
+    # Per-length bucketing was deleted in round 5: 2.3x slower through
+    # the tunnel (151.4 vs 353.8 pairs/s, r4) and slower on pure device
+    # compute with launches priced at zero (probe_bucket_compute.py).
     n_pairs = NQ * NDB
     with open(os.path.join(root, "hits.tsv")) as f:
         n_lines = sum(1 for _ in f)
@@ -109,9 +98,6 @@ def main():
         "pairs": n_pairs, "warm_s": round(warm_s, 1),
         "steady_s": round(hot_s, 1),
         "pairs_per_s": round(n_pairs / hot_s, 1),
-        **({"bucketed_steady_s": round(nb_s, 1),
-            "bucketed_pairs_per_s": round(n_pairs / nb_s, 1)}
-           if nb_s is not None else {}),
         "batch_size": BS,
         "backend": "pallas_bm" if ON_TPU else "scan",
     }))

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Decode batch-size x phase-count A/B (VERDICT r4 item 3).
+
+The decode headline must clear baseline even in the tunnel's SLOW
+window.  Remaining non-structural levers: amortize per-launch/per-grid
+overhead over a larger batch per dispatch (B rides the lane axis, so
+doubling B doubles the grid's lane-block dim without touching per-block
+VMEM) and the phase count (fewer pallas_calls vs looser windows).  Arms
+run interleaved round-robin so the bimodal window hits all arms alike;
+per-arm MIN over rounds is reported.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 5400 python scripts/probe_decode_batch.py
+"""
+
+import json
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/deepblast_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from deepblast_tpu.ops import dp as dp_ops  # noqa: E402
+from deepblast_tpu.ops import dp_bm  # noqa: E402
+from deepblast_tpu.ops.dp_bm import DTypeMenu  # noqa: E402
+from deepblast_tpu.utils.timing import time_op  # noqa: E402
+
+N = M = 512
+MENU = DTypeMenu.make(d="bfloat16", e="int16")   # the bench menu
+
+ARMS = [  # (batch, phases, time_op reps)
+    (256, 8, 8),     # current bench config (control)
+    (256, 4, 8),
+    (512, 8, 8),
+    (512, 6, 8),
+    (512, 4, 8),
+    (1024, 8, 4),    # reps capped: 8 operand copies would blow 16 GB HBM
+]
+ROUNDS = 3
+
+
+def make_problem(B):
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.standard_normal((B, N, M)), jnp.float32)
+    A = jnp.asarray(rng.standard_normal((B, N, M)) - 1.0, jnp.float32)
+    ln = jnp.full((B,), N, jnp.int32)
+    lm = jnp.full((B,), M, jnp.int32)
+    return theta, A, ln, lm
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    problems = {B: make_problem(B) for B in sorted({a[0] for a in ARMS})}
+    best = {}
+    for rnd in range(ROUNDS):
+        for (B, P, reps) in ARMS:
+            dp_bm.DECODE_PHASES = P
+            theta, A, ln, lm = problems[B]
+
+            def decode(t, a, _eps=0.0, ln=ln, lm=lm):
+                return dp_ops.expected_alignment_stream(
+                    t, a, (ln, lm), mode="nw", backend="pallas_bm",
+                    dtypes=MENU)
+
+            try:
+                dt = time_op(decode, theta, A, reps=reps, iters=3)
+            except Exception as e:  # noqa: BLE001
+                best[(B, P)] = f"FAIL {type(e).__name__}: {str(e)[:160]}"
+                print(f"round {rnd} B={B} P={P}: {best[(B, P)]}",
+                      flush=True)
+                continue
+            key = (B, P)
+            if key not in best or dt < best[key]:
+                best[key] = dt
+            print(f"round {rnd} B={B} P={P}: {dt*1e3:.3f} ms "
+                  f"({B/dt:,.0f} aligns/s)", flush=True)
+    dp_bm.DECODE_PHASES = 8
+    out = {f"B{B}_P{P}": (v if isinstance(v, str) else
+                          {"ms": round(v * 1e3, 3),
+                           "aligns_per_s": round(B / v)})
+           for (B, P), v in best.items()}
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

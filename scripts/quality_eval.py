@@ -241,7 +241,15 @@ def main():
         # residual storage menu — end-task quality evidence for the
         # --dp-bf16-residuals flag beyond step-level grad parity
         dp_bf16_residuals=(
-            os.environ.get("DEEPBLAST_QUALITY_BF16", "0") == "1"))
+            os.environ.get("DEEPBLAST_QUALITY_BF16", "0") == "1"),
+        # DEEPBLAST_QUALITY_SPD: steps per jitted dispatch (lax.scan
+        # over stacked batches).  Trajectory-identical at dropout=0
+        # (tests/test_train.py::test_multi_step_dispatch_matches_single)
+        # and amortises the ~31 ms tunnel RTT that dominated the r4
+        # on-chip runs (0.144 s/step at B=32, 96^2) — what makes the
+        # 64k-pair protocol affordable on the chip.
+        steps_per_dispatch=int(os.environ.get("DEEPBLAST_QUALITY_SPD",
+                                              "1")))
     tok = ProtT5Tokenizer()
     model = DeepBLAST(cfg, tokenizer=tok)
     train_ds = TMAlignDataset(train, tokenizer=tok, max_len=MAXLEN)

@@ -79,11 +79,11 @@ def test_search_cli(trained_dir):
         assert np.isfinite(float(s)) and np.isfinite(float(ns))
 
 
-def test_search_cli_bucket_parity(trained_dir):
-    """Per-pair scores must not depend on how pairs are bucketed: a
-    fine --pad-multiple (each length its own bucket) and a coarse one
-    (everything shares one padded shape) must agree, and every pair must
-    appear exactly once regardless of flush order."""
+def test_search_cli_pad_parity(trained_dir):
+    """Per-pair scores must not depend on batch padding: a fine
+    --pad-multiple (batches pad near each pair's length) and a coarse
+    one (everything shares one padded shape) must agree, and every pair
+    must appear exactly once."""
     root, out, _ = trained_dir
     q = root / "qb.fasta"
     db = root / "dbb.fasta"
@@ -96,7 +96,7 @@ def test_search_cli_bucket_parity(trained_dir):
         rc = main(["--query-fasta", str(q), "--db-fasta", str(db),
                    "--load-from-checkpoint", str(out),
                    "--output-file", str(path), "--batch-size", "2",
-                   "--length-buckets", "--pad-multiple", str(pm)])
+                   "--pad-multiple", str(pm)])
         assert rc == 0
         rows = {}
         for line in path.read_text().strip().split("\n"):
