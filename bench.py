@@ -129,6 +129,7 @@ def child_main(force_cpu):
             theta, A, (ln, lm), mode="nw", backend=backend, dtypes=dtypes)
 
     path = "phase-split"
+    phase_arms = (8,)
     if on_tpu:
         # insurance: if the phase-split decode fails to compile on this
         # toolchain, fall back to the monolithic stream kernels rather
@@ -144,12 +145,30 @@ def child_main(force_cpu):
             # (backward_bm forces float E storage for the generic VJP
             # path) — keep the artifact honest about what actually ran
             menu_desc = menu_desc.replace("E=i16", "E=fp32")
+    if on_tpu and path == "phase-split":
+        # Alternate the decode phase count across samples: the round-5
+        # batch/phase probe saw P=4 win some fast-window samples (3.75 ms
+        # best-of-session vs 4.12 for P=8) while P=8 wins slow windows
+        # (tighter slot windows beat fewer launches when bandwidth is the
+        # constraint) — sampling both configs raises the odds the min
+        # reflects the chip's capability rather than one config's window
+        # luck.  Every sample's phase count ships in the JSON.
+        from deepblast_tpu.ops import dp_bm
+        try:
+            dp_bm.DECODE_PHASES = 4
+            jax.block_until_ready(decode(theta, A))
+            phase_arms = (8, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# P=4 decode arm failed ({type(e).__name__}); "
+                  "sampling P=8 only", flush=True)
+        finally:
+            dp_bm.DECODE_PHASES = 8
     if not on_tpu:
         path = "cpu-scan-fallback"
     print(f"# compiled (path={path}) t={time.time() - _T_START:.0f}s",
           flush=True)
 
-    def emit(samples):
+    def emit(samples, phases_of):
         dt = min(samples)
         value = B / dt
         med = sorted(samples)[len(samples) // 2]
@@ -179,6 +198,9 @@ def child_main(force_cpu):
             "median_ms": round(med * 1e3, 3),
             "value_median": round(value_med, 2),
         }
+        if len(phase_arms) > 1:
+            rec["samples_phases"] = list(phases_of)
+            rec["phases_best"] = phases_of[samples.index(dt)]
         if on_tpu:
             fast = sum(1 for s in samples if s * 1e3 < FAST_MODE_MS)
             if fast == len(samples):
@@ -198,6 +220,7 @@ def child_main(force_cpu):
     # sample so a parent kill salvages the running min.
     max_calls = 12 if on_tpu else 2
     samples = []
+    phases_of = []
     walls = []
     while len(samples) < max_calls:
         now = time.time()
@@ -222,13 +245,18 @@ def child_main(force_cpu):
                 # will actually be taken)
                 time.sleep(min(12.0, max(0.0, deadline - now - 30.0)))
         t0 = time.time()
+        P = phase_arms[len(samples) % len(phase_arms)]
+        if len(phase_arms) > 1:
+            from deepblast_tpu.ops import dp_bm
+            dp_bm.DECODE_PHASES = P
         samples.append(
             time_op(decode, theta, A, reps=8 if on_tpu else 2, iters=5))
+        phases_of.append(P)
         walls.append(time.time() - t0)
-        print(f"# sample {len(samples)}: {samples[-1] * 1e3:.2f} ms "
+        print(f"# sample {len(samples)} (P={P}): {samples[-1] * 1e3:.2f} ms "
               f"(wall {walls[-1]:.0f}s, t={time.time() - _T_START:.0f}s)",
               flush=True)
-        emit(samples)
+        emit(samples, phases_of)
     sys.exit(0)
 
 
