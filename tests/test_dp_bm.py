@@ -314,3 +314,36 @@ def test_decode_stream_E_parity(mode, operator):
                           for i in range(n)])
         np.testing.assert_allclose(got, En[b, :n, :m], rtol=2e-5,
                                    atol=2e-6)
+
+
+@pytest.mark.parametrize("phases", [1, 4])
+def test_decode_stream_phase_count_invariant(phases):
+    """The decoded alignment must not depend on DECODE_PHASES (bench.py
+    samples both P=8 and P=4 since round 5): every phase plan covers the
+    same valid cells, only the segment windows differ."""
+    rng = np.random.default_rng(31)
+    B, N, M = 2, 128, 96
+    theta, A, ln, lm = _problem(rng, B, N, M)
+    E8 = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
+                                          backend="pallas_bm")
+    old = dp_bm.DECODE_PHASES
+    dp_bm.DECODE_PHASES = phases
+    try:
+        Ep = dp_mod.expected_alignment_stream(theta, A, (ln, lm),
+                                              backend="pallas_bm")
+    finally:
+        dp_bm.DECODE_PHASES = old
+    for b in range(B):
+        n, m = int(ln[b]), int(lm[b])
+        assert dp_mod.traceback_stream(Ep, n, m, b,
+                                       backend="pallas_bm") == \
+            dp_mod.traceback_stream(E8, n, m, b, backend="pallas_bm")
+    # cell-exact, not just same walk
+    get8 = dp_bm._stream_accessor(E8, N, M)
+    getp = dp_bm._stream_accessor(Ep, N, M)
+    for b in range(B):
+        n, m = int(ln[b]), int(lm[b])
+        for (i, j) in [(0, 0), (n - 1, m - 1), (n // 2, m // 3),
+                       (1, m - 2), (n - 2, 1)]:
+            np.testing.assert_allclose(getp(b, i, j), get8(b, i, j),
+                                       rtol=0, atol=0)
