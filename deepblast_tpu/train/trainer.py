@@ -335,6 +335,9 @@ class DeepBLAST:
         c = self.config
         G = batch["gmask"] if c.mask_gaps else jnp.ones_like(batch["gmask"])
         target = batch["path"] if c.loss == "path" else batch["aln"]
+        # aln may arrive as uint8 (_shrink_batch cuts transfer bytes);
+        # cast on device — XLA fuses it into the loss
+        target = target.astype(aln.dtype)
         return self.loss_fn(target, aln, batch["x_len"], batch["y_len"], G)
 
     # -- jitted steps ------------------------------------------------------
@@ -413,7 +416,36 @@ class DeepBLAST:
             if logger:
                 logger.log_scalar("train_loss", float(v), step0 + i)
 
+    def _shrink_batch(self, batch):
+        """Cut host->device bytes per step ~4x: the (B, Lx, Ly) float32
+        target matrices dominate the transfer (2.7 MB/batch at 32x96^2 vs
+        ~50 KB of tokens).  The round-5 64k-pair on-chip run was
+        OOM-killed at 127 GB host RSS because the tunneled runtime
+        retains uploaded buffers for the life of the process, making
+        total training-run footprint proportional to steps x batch
+        bytes, not to live arrays — so the fix is to ship less.  ``aln``
+        is a 0/1 incidence matrix and ships as uint8 (compute_loss casts
+        back on device); ``path`` is real-valued and only consumed by
+        the path loss, so other losses drop it from the transfer
+        entirely (visualization only reads ``aln``)."""
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, list):
+                out[k] = v
+            elif k == "path" and self.config.loss != "path":
+                continue
+            elif k == "aln":
+                a = np.asarray(v)
+                # lossless only: a user dataset could carry soft targets
+                u = a.astype(np.uint8)
+                out[k] = u if (a.dtype != np.uint8
+                               and np.array_equal(a, u)) else a
+            else:
+                out[k] = v
+        return out
+
     def _device_batch(self, batch):
+        batch = self._shrink_batch(batch)
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if not isinstance(v, list)}
         if self.mesh is not None:
@@ -422,6 +454,7 @@ class DeepBLAST:
 
     def _device_chunk(self, chunk):
         """Stack K same-shape batches into (K, B, ...) device arrays."""
+        chunk = [self._shrink_batch(b) for b in chunk]
         keys = [k for k, v in chunk[0].items() if not isinstance(v, list)]
         arrays = {k: jnp.asarray(np.stack([np.asarray(b[k]) for b in chunk]))
                   for k in keys}
