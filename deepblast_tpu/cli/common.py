@@ -85,10 +85,17 @@ def add_infra_args(parser: argparse.ArgumentParser):
                         help="matmul compute dtype for the heads/LM "
                         "(reference: scripts/deepblast-train:95-103); the "
                         "DP kernels always accumulate in fp32")
-    parser.add_argument("--dp-bf16-residuals", action="store_true",
+    parser.add_argument("--dp-bf16-residuals",
+                        action=argparse.BooleanOptionalAction,
+                        default="auto",
                         help="store the DP kernels' difference-residual "
-                        "streams in bf16 (TPU; ~30%% less DP HBM traffic, "
-                        "~0.4%% soft-argmax perturbation)")
+                        "streams in bf16 (~30%% less DP HBM traffic, "
+                        "17-28%% faster steps, ~0.4%% soft-argmax "
+                        "perturbation; end-task F1 delta within seed "
+                        "noise — docs/QUALITY.md multi-seed gate).  "
+                        "Default auto: on for the pallas TPU backends, "
+                        "off for the scan oracle; --no-dp-bf16-residuals "
+                        "forces fp32 streams")
     parser.add_argument("--dp-i16-streams", action="store_true",
                         help="store the DP input streams (and the decode "
                         "path's expectation segments) in int16 fixed "
@@ -154,7 +161,7 @@ def config_from_args(args) -> DeepBLASTConfig:
         mask_gaps=bool(args.mask_gaps),
         seed=getattr(args, "seed", 0),
         precision=getattr(args, "precision", "32"),
-        dp_bf16_residuals=getattr(args, "dp_bf16_residuals", False),
+        dp_bf16_residuals=getattr(args, "dp_bf16_residuals", "auto"),
         dp_i16_streams=getattr(args, "dp_i16_streams", False),
         dp_decode_menu=getattr(args, "dp_decode_menu", "default"),
         train_pairs=args.train_pairs,

@@ -99,9 +99,15 @@ class DeepBLASTConfig:
     precision: str = "32"
     # store the DP kernels' difference-residual streams in bf16
     # (O(1)-range; ~0.4% relative soft-argmax perturbation in the reverse
-    # passes — the recurrences themselves stay fp32).  Cuts the DP's HBM
-    # traffic ~30% on TPU; no effect on the scan backend.
-    dp_bf16_residuals: bool = False
+    # passes — the recurrences themselves stay fp32).  Round-5 default
+    # "auto": ON for the pallas backends, where the ~30% HBM cut buys
+    # 17-28% step time and the multi-seed end-task gate showed the F1
+    # delta is within seed noise (mean paired dF1 +0.002 +- 0.005 over 4
+    # seeds, docs/QUALITY.md; scripts/gate_bf16_residuals.py); OFF for
+    # the scan oracle, which is compute-bound — there the emulation
+    # (dp_scan residual_dtype) costs extra compute and buys no bytes.
+    # Explicit True/False overrides either way.
+    dp_bf16_residuals: "bool | str" = "auto"
     # store the DP input streams (and the decode path's expectation
     # segments) in int16 fixed point (saturating at
     # ops.dp_bm.STREAM_RANGE; <2e-3 E perturbation,
@@ -204,12 +210,18 @@ class DeepBLAST:
         through every DP call — never a module-global mutation, so two
         models with different menus coexist in one process and the DP
         kernel cache keys on the menu."""
-        if not (config.dp_bf16_residuals or config.dp_i16_streams):
+        bf16 = config.dp_bf16_residuals
+        if bf16 == "auto":
+            # resolved per backend: the byte win only exists for the
+            # pallas stream kernels (scan is compute-bound)
+            name, _ = dp_ops.get_backend(config.backend)
+            bf16 = name.startswith("pallas")
+        if not (bf16 or config.dp_i16_streams):
             return None
         from deepblast_tpu.ops.dp_bm import DTypeMenu
         return DTypeMenu.make(
             stream="int16" if config.dp_i16_streams else None,
-            d="bfloat16" if config.dp_bf16_residuals else None,
+            d="bfloat16" if bf16 else None,
             e="int16" if config.dp_i16_streams else None,
         )
 

@@ -135,7 +135,10 @@ def test_dp_dtype_menus_isolated_per_model():
     other's storage dtypes (VERDICT r2 weak item 2)."""
     cfg16 = DeepBLASTConfig(dp_i16_streams=True,
                             backend="pallas_bm", **BASE)
-    cfg32 = DeepBLASTConfig(backend="pallas_bm", **BASE)
+    # explicit False: the round-5 "auto" default would otherwise give
+    # this model a bf16-d menu on the pallas backend
+    cfg32 = DeepBLASTConfig(dp_bf16_residuals=False,
+                            backend="pallas_bm", **BASE)
     m16 = DeepBLAST(cfg16)
     m32 = DeepBLAST(cfg32)
     assert m16.dp_dtypes is not None and m32.dp_dtypes is None
@@ -153,9 +156,13 @@ def test_dp_decode_menu_fast_matches_default():
     storage menu (D=bf16 + int16 fixed-point E) without touching the
     training menu; at test scales the traceback matches the fp32 decode
     exactly."""
+    # dp_bf16_residuals pinned False: the round-5 "auto" default would
+    # otherwise give both models a bf16-d training menu on pallas
     cfg_fast = DeepBLASTConfig(dp_decode_menu="fast",
+                               dp_bf16_residuals=False,
                                backend="pallas_bm", **BASE)
-    cfg_def = DeepBLASTConfig(backend="pallas_bm", **BASE)
+    cfg_def = DeepBLASTConfig(dp_bf16_residuals=False,
+                              backend="pallas_bm", **BASE)
     m_fast = DeepBLAST(cfg_fast)
     m_def = DeepBLAST(cfg_def)
     assert m_fast.dp_dtypes is None          # training menu untouched
@@ -173,3 +180,22 @@ def test_dp_decode_menu_rejects_unknown():
     cfg = DeepBLASTConfig(dp_decode_menu="nope", **BASE)
     with _pytest.raises(ValueError):
         DeepBLAST(cfg)
+
+
+def test_dp_bf16_residuals_auto_default():
+    """Round-5 default flip (multi-seed gate, docs/QUALITY.md): "auto"
+    resolves to bf16 difference-residual storage on the pallas backends
+    (where the byte cut buys step time) and to fp32 on the scan oracle
+    (compute-bound; the emulation would only cost).  Explicit False
+    still forces fp32 everywhere."""
+    import dataclasses
+
+    cfg = DeepBLASTConfig(**BASE)
+    assert cfg.dp_bf16_residuals == "auto"
+    scan_cfg = dataclasses.replace(cfg, backend="scan")
+    assert DeepBLAST._dp_dtype_menu(scan_cfg) is None
+    p_cfg = dataclasses.replace(cfg, backend="pallas_bm")
+    menu = DeepBLAST._dp_dtype_menu(p_cfg)
+    assert menu is not None and menu.d == "bfloat16"
+    off = dataclasses.replace(p_cfg, dp_bf16_residuals=False)
+    assert DeepBLAST._dp_dtype_menu(off) is None
