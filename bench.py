@@ -154,15 +154,18 @@ def child_main(force_cpu):
         # reflects the chip's capability rather than one config's window
         # luck.  Every sample's phase count ships in the JSON.
         from deepblast_tpu.ops import dp_bm
+        base_phases = dp_bm.DECODE_PHASES   # honors DEEPBLAST_DECODE_PHASES
         try:
             dp_bm.DECODE_PHASES = 4
             jax.block_until_ready(decode(theta, A))
-            phase_arms = (8, 4)
+            phase_arms = (base_phases, 4) if base_phases != 4 \
+                else (base_phases,)
         except Exception as e:  # noqa: BLE001
             print(f"# P=4 decode arm failed ({type(e).__name__}); "
-                  "sampling P=8 only", flush=True)
+                  f"sampling P={base_phases} only", flush=True)
+            phase_arms = (base_phases,)
         finally:
-            dp_bm.DECODE_PHASES = 8
+            dp_bm.DECODE_PHASES = base_phases
     if not on_tpu:
         path = "cpu-scan-fallback"
     print(f"# compiled (path={path}) t={time.time() - _T_START:.0f}s",

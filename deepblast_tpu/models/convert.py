@@ -33,6 +33,8 @@ from deepblast_tpu.models.lm import (
     convert_bepler_bilm, convert_hf_t5_encoder,
 )
 
+MANIFEST_FORMAT = "deepblast-tpu-lm/1"
+
 __all__ = [
     "hf_t5_encoder_key_shapes",
     "infer_t5_config",
@@ -173,8 +175,10 @@ def save_converted_lm(directory, kind, params, config, source=None,
     serving path — stored via uint16 bit view since npz has no bf16)."""
     os.makedirs(directory, exist_ok=True)
     flat = _flatten(params)
-    bf16 = dtype is not None and str(np.dtype("float32")) != str(dtype) \
-        and str(dtype) in ("bfloat16",)
+    if dtype is not None and str(dtype) not in ("float32", "bfloat16"):
+        raise ValueError(f"unsupported storage dtype {dtype!r} "
+                         "(float32 or bfloat16)")
+    bf16 = dtype is not None and str(dtype) == "bfloat16"
     stored = {}
     for k, v in flat.items():
         if bf16 and v.dtype in (np.float32, np.float64):
@@ -185,7 +189,7 @@ def save_converted_lm(directory, kind, params, config, source=None,
     np.savez(os.path.join(directory, "params.npz"), **stored)
     n_params = int(sum(v.size for v in flat.values()))
     manifest = {
-        "format": "deepblast-tpu-lm/1",
+        "format": MANIFEST_FORMAT,
         "kind": kind,
         "config": config,
         "n_params": n_params,
@@ -202,7 +206,7 @@ def load_converted_lm(directory):
     import jax.numpy as jnp
     with open(os.path.join(directory, "manifest.json")) as f:
         manifest = json.load(f)
-    if manifest.get("format") != "deepblast-tpu-lm/1":
+    if manifest.get("format") != MANIFEST_FORMAT:
         raise ValueError(f"{directory} is not a deepblast-tpu LM artifact")
     data = np.load(os.path.join(directory, "params.npz"))
     flat = {}
@@ -229,8 +233,17 @@ def load_converted_lm(directory):
 
 
 def is_converted_lm(path):
-    return os.path.isdir(path) and os.path.exists(
-        os.path.join(path, "manifest.json"))
+    """True only for THIS repo's LM artifacts: a raw HF snapshot can
+    legitimately contain an unrelated manifest.json and must fall
+    through to the HF/torch loaders, so the format line is checked."""
+    mf = os.path.join(path, "manifest.json")
+    if not (os.path.isdir(path) and os.path.exists(mf)):
+        return False
+    try:
+        with open(mf) as f:
+            return json.load(f).get("format") == MANIFEST_FORMAT
+    except (OSError, ValueError):
+        return False
 
 
 # ---------------------------------------------------------------------------

@@ -1205,6 +1205,11 @@ def _with_dtypes(menu):
         "adjoint_forward": bind(fns["adjoint_forward"]),
         "adjoint_backward": bind(fns["adjoint_backward"]),
         "decode_stream": bind(decode_stream_bm),
+        # keep the za=None capability flag in lockstep with the freshly
+        # resolved train fns: a runtime TRAIN_PHASES flip (probes) would
+        # otherwise pair the import-time za_none=True with the monolithic
+        # adjoint_forward, which requires a real Za stream
+        "za_none": fns.get("za_none", False),
     }
 
 
